@@ -1,0 +1,154 @@
+"""Per-Gaussian preprocess: cull, project, 2D covariance, conic, tile rect.
+
+Behavioral reference: the rasterizer's preprocess kernel
+(/root/reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/
+forward.cu:70-241 and auxiliary.h:40-64,140-162). Numerical details preserved:
+
+* near cull at view-space z <= 0.2 (auxiliary.h:154)
+* EWA 2D covariance with the 1.3*tanfov frustum clamp (forward.cu:77-82)
+* NO +0.3 pixel dilation (this GS-2M fork inverts the raw covariance in its
+  forward, forward.cu:205-209)
+* radius = ceil(3 * sqrt(max eigenvalue)), eigenvalues from the
+  max(0.1, mid^2-det) guarded discriminant (forward.cu:215-218)
+* ndc2Pix(v, S) = ((v+1)*S - 1)/2 (auxiliary.h:40-42)
+* tile rect via floor((p - r)/T) .. ceil((p + r + T - 1)/T) clamped to the
+  grid (auxiliary.h:44-53)
+
+TPU-first: one fused vectorized jnp pass over the padded (C,) arrays — XLA
+autodiff provides the exact backward (replacing backward.cu:153-410), so no
+hand-derived covariance/SH gradients are needed.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from gs2m_tpu.core import sh as shlib
+from gs2m_tpu.core.camera import Camera
+from gs2m_tpu.core.gaussians import Gaussians, quat_to_rotmat
+
+
+class Projected(NamedTuple):
+    """Per-Gaussian screen-space quantities (all shape (C, ...))."""
+    means2d: jnp.ndarray        # (C, 2) pixel coordinates
+    depths: jnp.ndarray         # (C,) view-space z
+    conics: jnp.ndarray         # (C, 3) inverse 2D covariance (a, b, c)
+    colors: jnp.ndarray         # (C, 3) SH-evaluated RGB
+    radii: jnp.ndarray          # (C,) int32 screen radius, 0 = culled
+    rect_min: jnp.ndarray       # (C, 2) int32 tile rect (x, y), inclusive
+    rect_max: jnp.ndarray       # (C, 2) int32 tile rect, exclusive
+    tiles_touched: jnp.ndarray  # (C,) int32
+    valid: jnp.ndarray          # (C,) bool
+
+
+def compute_cov3d(gaussians: Gaussians, scale_modifier: float = 1.0) -> jnp.ndarray:
+    return gaussians.get_covariance(scale_modifier)
+
+
+def compute_cov2d(xyz: jnp.ndarray, cov3d: jnp.ndarray, camera: Camera) -> jnp.ndarray:
+    """EWA projection of world covariance to screen (forward.cu:70-104).
+
+    cov2d = J @ Rw2c @ Sigma @ Rw2c^T @ J^T with the frustum-clamped Jacobian.
+    Returns (C, 3): (cov_xx, cov_xy, cov_yy).
+    """
+    t = xyz @ camera.world_view[:3, :3] + camera.world_view[3, :3]  # view space
+    limx = 1.3 * camera.tanfovx
+    limy = 1.3 * camera.tanfovy
+    tz = t[:, 2]
+    tx = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
+
+    fx, fy = camera.fx, camera.fy
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J (2x3) rows: [fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]
+    R = camera.world_view[:3, :3].T  # true w2c rotation
+    # M = Rw2c @ Sigma @ Rw2c^T, then take the 2x2 block of J M J^T.
+    s = cov3d  # (C,6): xx xy xz yy yz zz
+    Sigma = jnp.stack([
+        jnp.stack([s[:, 0], s[:, 1], s[:, 2]], -1),
+        jnp.stack([s[:, 1], s[:, 3], s[:, 4]], -1),
+        jnp.stack([s[:, 2], s[:, 4], s[:, 5]], -1),
+    ], axis=-2)  # (C,3,3)
+    M = jnp.einsum("ij,njk,lk->nil", R, Sigma, R)  # (C,3,3)
+
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+    # cov = J M J^T expanded with J's sparsity:
+    cxx = j00 * j00 * M[:, 0, 0] + 2 * j00 * j02 * M[:, 0, 2] + j02 * j02 * M[:, 2, 2]
+    cxy = (j00 * j11 * M[:, 0, 1] + j00 * j12 * M[:, 0, 2]
+           + j02 * j11 * M[:, 1, 2] + j02 * j12 * M[:, 2, 2])
+    cyy = j11 * j11 * M[:, 1, 1] + 2 * j11 * j12 * M[:, 1, 2] + j12 * j12 * M[:, 2, 2]
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
+def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
+            tile: int = 16, scale_modifier: float = 1.0) -> Projected:
+    """Vectorized preprocess over the padded capacity."""
+    xyz = gaussians.xyz
+    W, H = camera.width, camera.height
+    grid_x = (W + tile - 1) // tile
+    grid_y = (H + tile - 1) // tile
+
+    # View/clip transforms (row-vector convention).
+    p_view = xyz @ camera.world_view[:3, :3] + camera.world_view[3, :3]
+    p_hom = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], axis=-1) @ camera.full_proj
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    in_front = p_view[:, 2] > 0.2  # near cull (auxiliary.h:154)
+
+    cov3d = compute_cov3d(gaussians, scale_modifier)
+    cov = compute_cov2d(xyz, cov3d, camera)
+    det = cov[:, 0] * cov[:, 2] - cov[:, 1] * cov[:, 1]
+    det_ok = det != 0.0
+    det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([cov[:, 2] * det_inv, -cov[:, 1] * det_inv, cov[:, 0] * det_inv], -1)
+
+    mid = 0.5 * (cov[:, 0] + cov[:, 2])
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - disc)))
+
+    px = ((p_proj[:, 0] + 1.0) * W - 1.0) * 0.5
+    py = ((p_proj[:, 1] + 1.0) * H - 1.0) * 0.5
+    means2d = jnp.stack([px, py], axis=-1)
+
+    # Tile rect (auxiliary.h:44-53), computed on the culled-to-zero radius.
+    rect_min_x = jnp.clip(((px - radius) / tile).astype(jnp.int32), 0, grid_x)
+    rect_min_y = jnp.clip(((py - radius) / tile).astype(jnp.int32), 0, grid_y)
+    rect_max_x = jnp.clip(((px + radius + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+    rect_max_y = jnp.clip(((py + radius + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+    area = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
+
+    valid = in_front & det_ok & (area > 0) & gaussians.alive
+    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)
+
+    # SH -> RGB (forward.cu:227-232); view dirs from the unclamped positions.
+    dirs = xyz - camera.cam_center[None, :]
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    colors = shlib.sh_to_rgb(active_sh_degree, gaussians.get_features, dirs)
+
+    # Sanitize culled slots so no inf/NaN leaks into the blend or its
+    # gradients (the CUDA kernel simply never touches culled Gaussians;
+    # under XLA the whole array flows through, so we pin safe values).
+    v = valid[:, None]
+    means2d = jnp.where(v, means2d, -1e4)
+    conic = jnp.where(v, conic, jnp.array([1.0, 0.0, 1.0], conic.dtype))
+    depths = jnp.where(valid, p_view[:, 2], camera.zfar)
+
+    return Projected(
+        means2d=means2d,
+        depths=depths,
+        conics=conic,
+        colors=colors,
+        radii=radii,
+        rect_min=jnp.stack([rect_min_x, rect_min_y], -1),
+        rect_max=jnp.stack([rect_max_x, rect_max_y], -1),
+        tiles_touched=tiles_touched,
+        valid=valid,
+    )
