@@ -1,0 +1,136 @@
+"""Tiled alpha blending in pure XLA — the chunked log-transmittance formulation.
+
+This is the mid-scale twin of the Pallas blend kernels: IDENTICAL math and
+chunk layout (same binning, same masks, same log-space compositing), expressed
+as a lax.scan over chunks so it runs anywhere (CPU tests) and differentiates
+via plain autodiff. The Pallas kernels (blend_pallas.py) must match this
+bit-for-bit modulo float reassociation.
+
+The formulation (replacing the sequential CUDA loop, forward.cu:298-358):
+with per-(instance, pixel) alpha a_{j,p} and log-transmittance carried per
+pixel, the blend weight is
+    w_j = a_j * exp(carry + cumsum_excl(log(1-a))) * [not done]
+and a whole chunk's RGB+feature accumulation is ONE MXU matmul
+    out[16, P] += V[16, CHUNK] @ W[CHUNK, P].
+Early termination (T < 1e-4, forward.cu:335-338) becomes a cummax over the
+crossing flag; skipped Gaussians (power > 0 or alpha < 1/255) set a_j = 0,
+which is exactly "continue without updating T".
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gs2m_tpu.ops.binning import Binning, num_tiles
+
+LOG_EPS = float(jnp.log(1e-4))  # termination threshold (forward.cu:336)
+ALPHA_MIN = 1.0 / 255.0
+
+
+class BlendOut(NamedTuple):
+    image: jnp.ndarray     # (16, Hp, Wp): rows 0-2 RGB (no bg), 3-12 features
+    final_T: jnp.ndarray   # (Hp, Wp)
+    observe: jnp.ndarray   # (C,) int32
+
+
+def _chunk_alpha(means2d_c, conics_c, opac_c, pix_x, pix_y, inside):
+    """Per-(instance, pixel) gated alpha for one chunk.
+
+    means2d_c: (K, 2); conics_c: (K, 3); opac_c: (K,);
+    pix_x/pix_y/inside: (P,). Returns alpha_eff (K, P).
+    """
+    dx = means2d_c[:, 0:1] - pix_x[None, :]
+    dy = means2d_c[:, 1:2] - pix_y[None, :]
+    a = conics_c[:, 0:1]
+    b = conics_c[:, 1:2]
+    c = conics_c[:, 2:3]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    alpha = jnp.minimum(0.99, opac_c[:, None] * jnp.exp(power))
+    gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & inside[None, :]
+    return jnp.where(gate, alpha, 0.0)
+
+
+def _chunk_blend(alpha, carry_logT, carry_done):
+    """Shared forward compositing math for one chunk.
+
+    alpha: (K, P) gated; carry_logT/carry_done: (P,).
+    Returns (w, logT_excl, contribute, new_logT, new_done).
+    """
+    log1m = jnp.log1p(-alpha)
+    cum = jnp.cumsum(log1m, axis=0)
+    test_logT = carry_logT[None, :] + cum                 # inclusive: T after j
+    crossed = test_logT < LOG_EPS
+    done = carry_done[None, :] | (jnp.cumsum(crossed.astype(jnp.int32), axis=0) > 0)
+    contribute = (alpha > 0.0) & ~done
+    logT_excl = carry_logT[None, :] + cum - log1m         # T before j
+    w = jnp.where(contribute, alpha * jnp.exp(logT_excl), 0.0)
+    new_logT = carry_logT + jnp.sum(jnp.where(contribute, log1m, 0.0), axis=0)
+    new_done = done[-1, :]
+    return w, logT_excl, contribute, new_logT, new_done
+
+
+@partial(jax.jit, static_argnames=("height", "width", "tile", "chunk"))
+def blend_tiles_xla(values: jnp.ndarray,    # (C, 16) rows: rgb(3) feat(10) pad(3)
+                    means2d: jnp.ndarray,   # (C, 2)
+                    conics: jnp.ndarray,    # (C, 3)
+                    opacities: jnp.ndarray,  # (C,)
+                    binning: Binning,
+                    height: int, width: int, tile: int, chunk: int) -> BlendOut:
+    grid_y, grid_x = num_tiles(height, width, tile)
+    T = grid_y * grid_x
+    P = tile * tile
+    C = values.shape[0]
+    I = binning.gid.shape[0]
+    n_chunks = I // chunk
+
+    gid = binning.gid.reshape(n_chunks, chunk)
+    null = binning.is_null.reshape(n_chunks, chunk)
+
+    # In-tile pixel offsets (row-major within the tile).
+    off_y = (jnp.arange(P, dtype=jnp.int32) // tile).astype(jnp.float32)
+    off_x = (jnp.arange(P, dtype=jnp.int32) % tile).astype(jnp.float32)
+
+    def step(carry, inp):
+        logT, done, acc = carry  # (T+1, P), (T+1, P), (T+1, 16, P)
+        gids, nulls, t = inp
+        m2 = means2d[gids]
+        co = conics[gids]
+        op = jnp.where(nulls, 0.0, opacities[gids])
+        vals = values[gids]  # (chunk, 16)
+
+        ty = (t // grid_x).astype(jnp.float32)
+        tx = (t % grid_x).astype(jnp.float32)
+        pix_x = tx * tile + off_x
+        pix_y = ty * tile + off_y
+        inside = (pix_x < width) & (pix_y < height)
+
+        alpha = _chunk_alpha(m2, co, op, pix_x, pix_y, inside)
+        w, logT_excl, contribute, new_logT, new_done = _chunk_blend(
+            alpha, logT[t], done[t])
+
+        out16 = vals.T @ w  # (16, P) MXU
+        obs = jnp.sum((contribute & (logT_excl > jnp.log(0.5))).astype(jnp.int32), axis=1)
+
+        logT = logT.at[t].set(new_logT)
+        done = done.at[t].set(new_done)
+        acc = acc.at[t].add(out16)
+        return (logT, done, acc), (obs, gids)
+
+    logT0 = jnp.zeros((T + 1, P), values.dtype)
+    done0 = jnp.zeros((T + 1, P), bool)
+    acc0 = jnp.zeros((T + 1, 16, P), values.dtype)
+    (logT, _, acc), (obs_chunks, gid_chunks) = jax.lax.scan(
+        step, (logT0, done0, acc0), (gid, null, binning.chunk_tile))
+
+    observe = jnp.zeros((C,), jnp.int32).at[gid_chunks.reshape(-1)].add(
+        obs_chunks.reshape(-1))
+
+    # Untile to (16, Hp, Wp) and (Hp, Wp).
+    img = acc[:T].reshape(grid_y, grid_x, 16, tile, tile)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(16, grid_y * tile, grid_x * tile)
+    fT = jnp.exp(logT[:T]).reshape(grid_y, grid_x, tile, tile)
+    fT = fT.transpose(0, 2, 1, 3).reshape(grid_y * tile, grid_x * tile)
+    return BlendOut(image=img, final_T=fT, observe=observe)

@@ -1,0 +1,133 @@
+"""Public rasterizer API: project -> bin -> blend, with selectable backends.
+
+Mirrors the Python-visible surface of the reference rasterizer
+(/root/reference/submodules/diff-gaussian-rasterization/
+diff_gaussian_rasterization/__init__.py:143-218): inputs are per-Gaussian
+parameters + camera; outputs are color (3,H,W), radii (C,), observe (C,) and
+the 10-channel feature buffer (10,H,W), with `feature_count` selecting how
+many feature channels blend (1/5/9/10, gaussian_renderer/__init__.py:86-96).
+
+Backends:
+  "golden"  — O(C*H*W) per-pixel reference (ops/golden.py), tiny scenes only.
+  "xla"     — tiled chunked blend as a lax.scan (ops/blend_xla.py), runs
+              anywhere, differentiable by autodiff.
+  "pallas"  — Pallas TPU kernels with hand-derived backward
+              (ops/blend_pallas.py), the production path.
+
+Densification statistics: the reference hacks screen-space gradients into a
+dummy means2D tensor with signed (.xy) and absolute (.zw) channels
+(backward.cu:582-587). Here `m2d_sink`/`m2d_abs_sink` zero inputs serve that
+role — their gradients carry dL/d(ndc mean2d) and the per-pixel-absolute
+version, scaled by (0.5*W, 0.5*H) exactly like ddelx_dx (backward.cu:490-491).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gs2m_tpu.core.camera import Camera
+from gs2m_tpu.core.gaussians import Gaussians
+from gs2m_tpu.ops import golden as golden_mod
+from gs2m_tpu.ops.binning import bin_gaussians, num_tiles
+from gs2m_tpu.ops.blend_xla import blend_tiles_xla
+from gs2m_tpu.ops.projection import Projected, project
+
+
+class RasterOut(NamedTuple):
+    color: jnp.ndarray     # (3, H, W) background-composited
+    buffer: jnp.ndarray    # (10, H, W)
+    final_T: jnp.ndarray   # (H, W)
+    radii: jnp.ndarray     # (C,) int32
+    observe: jnp.ndarray   # (C,) int32
+    dropped: jnp.ndarray   # () int32 — binning overflow diagnostic
+
+
+def pack_values(colors: jnp.ndarray, features: jnp.ndarray,
+                feature_count: int) -> jnp.ndarray:
+    """(C,3) colors + (C,10) features -> (C,16) value rows; channels beyond
+    feature_count are zeroed (forward.cu:345-346 blends only featureCount)."""
+    C = colors.shape[0]
+    mask = (jnp.arange(10) < feature_count).astype(features.dtype)
+    return jnp.concatenate(
+        [colors, features * mask[None, :], jnp.zeros((C, 3), colors.dtype)], axis=-1)
+
+
+def rasterize_from_projected(
+    proj: Projected,
+    opacities: jnp.ndarray,       # (C,)
+    features: jnp.ndarray,        # (C, 10)
+    bg: jnp.ndarray,              # (3,)
+    camera: Camera,
+    feature_count: int = 10,
+    tile: int = 16,
+    chunk: int = 128,
+    instance_cap: int = 2 ** 17,
+    backend: str = "xla",
+    m2d_sink: jnp.ndarray | None = None,
+    m2d_abs_sink: jnp.ndarray | None = None,
+) -> RasterOut:
+    H, W = camera.height, camera.width
+    C = proj.means2d.shape[0]
+
+    # means2d sinks let gradients for densification stats escape.
+    means2d = proj.means2d
+    if m2d_sink is not None:
+        means2d = means2d + m2d_sink
+
+    if backend == "golden":
+        out = golden_mod.golden_rasterize(
+            means2d, proj.depths, proj.conics, opacities, proj.colors,
+            features, proj.rect_min, proj.rect_max, proj.valid, bg,
+            H, W, tile, feature_count)
+        return RasterOut(color=out.color, buffer=out.buffer, final_T=out.final_T,
+                         radii=proj.radii, observe=out.observe,
+                         dropped=jnp.int32(0))
+
+    binning = bin_gaussians(proj, H, W, tile, instance_cap, chunk)
+    values = pack_values(proj.colors, features, feature_count)
+
+    if backend == "xla":
+        out = blend_tiles_xla(values, means2d, proj.conics, opacities, binning,
+                              H, W, tile, chunk)
+        image, final_T, observe = out.image, out.final_T, out.observe
+    elif backend == "pallas":
+        from gs2m_tpu.ops.blend_pallas import blend_tiles_pallas
+        image, final_T, observe = blend_tiles_pallas(
+            values, means2d, proj.conics, opacities, binning, H, W, tile, chunk,
+            m2d_abs_sink=m2d_abs_sink)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    image = image[:, :H, :W]
+    final_T = final_T[:H, :W]
+    color = image[0:3] + final_T[None] * bg[:, None, None]
+    return RasterOut(color=color, buffer=image[3:13], final_T=final_T,
+                     radii=proj.radii, observe=observe, dropped=binning.dropped)
+
+
+def build_features(gaussians: Gaussians, camera: Camera,
+                   z_depth: bool = False,
+                   normals: jnp.ndarray | None = None) -> jnp.ndarray:
+    """The 10-channel per-Gaussian feature matrix
+    (gaussian_renderer/__init__.py:86-96): [1, plane-distance |n.x_cam| (or
+    z-depth), world normal x3, albedo x3, roughness, metallic]."""
+    C = gaussians.capacity
+    if normals is None:
+        normals = gaussians.get_normals(camera.cam_center)
+    cam_n = normals @ camera.world_view[:3, :3]
+    cam_p = gaussians.xyz @ camera.world_view[:3, :3] + camera.world_view[3, :3]
+    if z_depth:
+        dist = cam_p[:, 2]
+    else:
+        dist = jnp.abs(jnp.sum(cam_n * cam_p, axis=-1))
+    return jnp.concatenate([
+        jnp.ones((C, 1), gaussians.xyz.dtype),
+        dist[:, None],
+        normals,
+        gaussians.get_albedo,
+        gaussians.get_roughness,
+        gaussians.get_metallic,
+    ], axis=-1)
