@@ -16,10 +16,19 @@ def make_camera(width=64, height=64, dist=4.0):
                          width=width, height=height)
 
 
-def make_scene(rng, n=64, capacity=96, sh_degree=1, spread=1.0, zspread=0.5):
+def make_scene(rng, n=64, capacity=96, sh_degree=1, spread=1.0, zspread=0.5,
+               random_pose=False):
     pts = rng.normal(size=(n, 3)).astype(np.float32) * np.array([spread, spread, zspread], np.float32)
     cols = rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)
     g = Gaussians.create(pts, cols, max_sh_degree=sh_degree, capacity=capacity)
+    if random_pose:
+        # Random rotations + anisotropic scales so normals point anywhere
+        # (the default identity/isotropic init makes every normal ±x̂).
+        import dataclasses
+        import jax.numpy as jnp
+        q = rng.normal(size=(capacity, 4)).astype(np.float32)
+        scl = np.asarray(g.scaling) + rng.uniform(-1, 0.2, (capacity, 3)).astype(np.float32)
+        g = dataclasses.replace(g, rotation=jnp.asarray(q), scaling=jnp.asarray(scl))
     return g
 
 
