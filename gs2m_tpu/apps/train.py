@@ -1,0 +1,112 @@
+"""Training CLI.
+
+Behavioral reference: /root/reference/train.py:284-315 — same flag surface
+(model/pipeline/optimization groups + test/save/checkpoint iteration lists),
+same staging defaults, cfg_args persistence for downstream apps.
+
+Usage: python -m gs2m_tpu.apps.train -s <scene> -m <out> [--iterations N] ...
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from argparse import ArgumentParser
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="gs2m_tpu training")
+    from gs2m_tpu.core.config import (ModelConfig, OptimConfig, PipelineConfig,
+                                      add_group_args, extract_group,
+                                      save_cfg_args)
+    add_group_args(parser, ModelConfig)
+    add_group_args(parser, PipelineConfig)
+    add_group_args(parser, OptimConfig)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[5_000, 7_000, 10_000, 15_000, 20_000, 25_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--device", type=str, default="",
+                        help="jax platform override (e.g. cpu)")
+    args = parser.parse_args(argv)
+
+    if args.device:
+        import jax
+        jax.config.update("jax_platforms", args.device)
+
+    import jax
+    import jax.numpy as jnp
+
+    from gs2m_tpu.data.scene import Scene
+    from gs2m_tpu.train.trainer import Trainer
+
+    model_cfg = extract_group(args, ModelConfig)
+    pipe = extract_group(args, PipelineConfig)
+    opt = extract_group(args, OptimConfig)
+    save_iterations = sorted(set(args.save_iterations + [opt.iterations]))
+
+    os.makedirs(model_cfg.model_path, exist_ok=True)
+    save_cfg_args(model_cfg.model_path, model_cfg, pipe, opt)
+
+    print(f"[>] Loading scene: {model_cfg.source_path}")
+    scene = Scene(model_cfg, opt)
+    print(f"[>] {len(scene.train_cameras)} train / {len(scene.test_cameras)} "
+          f"test views at {scene.train_cameras[0].width}x"
+          f"{scene.train_cameras[0].height}; extent {scene.cameras_extent:.3f}")
+
+    pbr_fns = None
+    if model_cfg.material:
+        from gs2m_tpu.pbr import make_pbr_fns
+        pbr_fns = make_pbr_fns()
+
+    trainer = Trainer(model_cfg, pipe, opt, scene, pbr_fns=pbr_fns)
+    if args.start_checkpoint:
+        trainer.load_checkpoint(args.start_checkpoint)
+        print(f"[>] Resumed from {args.start_checkpoint} at iteration "
+              f"{trainer.iteration}")
+    print(f"[>] Capacity {trainer.gaussians.capacity}, "
+          f"{int(trainer.gaussians.num_alive)} alive, backend {trainer.backend}")
+
+    t0 = time.time()
+    log_path = os.path.join(model_cfg.model_path, "train_log.jsonl")
+    log_file = open(log_path, "a")
+    ema = None
+    while trainer.iteration < opt.iterations:
+        metrics = trainer.train_step()
+        it = trainer.iteration
+        loss = float(metrics["loss"])
+        ema = loss if ema is None else 0.4 * loss + 0.6 * ema
+
+        if it % 100 == 0 and not args.quiet:
+            alive = int(trainer.gaussians.num_alive)
+            dt = time.time() - t0
+            print(f"[{it:>6}] loss {ema:.5f} Lrgb {float(metrics['Lrgb']):.5f} "
+                  f"Lgeo {float(metrics['Lgeo']):.5f} points {alive} "
+                  f"({it / dt:.1f} it/s)", flush=True)
+            log_file.write(json.dumps({
+                "iteration": it, "loss": ema, "points": alive,
+                "elapsed_s": dt, "dropped": int(metrics["dropped"])}) + "\n")
+            log_file.flush()
+
+        if it in save_iterations:
+            print(f"[ITER {it:>6}] Saving snapshot")
+            trainer.save_snapshot(it)
+        if it in args.checkpoint_iterations:
+            trainer.save_checkpoint(os.path.join(
+                model_cfg.model_path, "checkpoints", f"ckp{it}.pkl"))
+
+    wall_min = (time.time() - t0) / 60.0
+    with open(os.path.join(model_cfg.model_path, "runtime.json"), "w") as f:
+        json.dump({"minutes": wall_min, "iterations": opt.iterations}, f)
+    print(f"[>] Training complete in {wall_min:.1f} min")
+    log_file.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -120,7 +120,11 @@ def add_group_args(parser: ArgumentParser, cls, fill_none: bool = False) -> None
         names = [flag] + ([_SHORTHAND[f.name]] if f.name in _SHORTHAND else [])
         default = None if fill_none else f.default
         if f.type in (bool, "bool"):
-            parser.add_argument(*names, default=default, action="store_true")
+            # BooleanOptionalAction adds --flag / --no-flag pairs so defaults
+            # of True (e.g. use_pallas) can be disabled from the CLI.
+            from argparse import BooleanOptionalAction
+            parser.add_argument(*names, default=default,
+                                action=BooleanOptionalAction)
         else:
             typ = {int: int, float: float, str: str,
                    "int": int, "float": float, "str": str}[f.type]

@@ -1,0 +1,360 @@
+"""Staged training loop: RGB warmup -> geometry -> (optional) material.
+
+Behavioral reference: /root/reference/train.py:34-281 — per-iteration random
+view, staged losses (Lrgb + plane + alpha; + multi-view/depth-normal in the
+geometry stage; + PBR/smoothness/TV/roughness in the material stage),
+densification every 100 iters in [500, 15000], multi-view observe trim every
+1000 iters, opacity reset every 3000, SH degree bump every 1000.
+
+TPU-first: one jitted train step per stage (static flags -> three XLA
+programs); the step takes the view index and neighbor index as traced
+scalars and dynamic-indexes the stacked camera/image buffers, so the whole
+hot loop is a single device dispatch per iteration. Densify/trim/reset are
+separate jitted passes on the same static-capacity state.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs2m_tpu.core.config import ModelConfig, OptimConfig, PipelineConfig
+from gs2m_tpu.core.gaussians import Gaussians
+from gs2m_tpu.data.scene import Scene, index_camera
+from gs2m_tpu.models import losses as L
+from gs2m_tpu.models.render import render
+from gs2m_tpu.train import densify as D
+from gs2m_tpu.train.optim import (AdamState, adam_init, adam_update, group_lrs,
+                                  xyz_lr_schedule)
+
+
+def _choose_neighbor(key, table_row, mask_row, self_idx):
+    """Random valid neighbor index; falls back to self when none are valid."""
+    count = jnp.sum(mask_row.astype(jnp.int32))
+    r = jax.random.randint(key, (), 0, jnp.maximum(count, 1))
+    return jnp.where(count > 0, table_row[r], self_idx), count > 0
+
+
+def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
+                    opt: OptimConfig, scene: Scene, instance_cap: int,
+                    geometry_stage: bool, material_stage: bool,
+                    backend: str | None = None,
+                    pbr_fns: dict | None = None) -> Callable:
+    """Build the jitted step for one stage. `pbr_fns` supplies the material-
+    stage callables (cubemap shading) once the pbr module is wired in."""
+    backend = backend or ("pallas" if pipe.use_pallas else "xla")
+    use_alpha_loss = model_cfg.white_background or model_cfg.mask_gt
+    ncc_scale = scene.ncc_scale
+    xyz_lr_fn = xyz_lr_schedule(opt, scene.cameras_extent)
+    H = scene.train_cameras[0].height
+    W = scene.train_cameras[0].width
+    render_kw = dict(backend=backend, tile=pipe.tile, chunk=pipe.chunk,
+                     instance_cap=instance_cap,
+                     z_depth=pipe.z_depth, blend_metallic=model_cfg.metallic)
+
+    camera_stack = scene.camera_stack
+    nearest_table, nearest_mask = scene.nearest_table, scene.nearest_mask
+    nearby_table, nearby_mask = scene.nearby_table, scene.nearby_mask
+
+    @partial(jax.jit, static_argnames=("active_sh_degree",), donate_argnums=(0, 1, 2))
+    def step(gaussians: Gaussians, opt_state: AdamState, stats: D.DensifyStats,
+             gt_images, alpha_masks, gray_images, light_state,
+             view_idx, key, iteration, active_sh_degree: int):
+        cam = index_camera(camera_stack, view_idx)
+        gt = gt_images[view_idx]
+        gt_alpha = alpha_masks[view_idx]
+
+        k_nb, k_mv, k_rough, k_split = jax.random.split(key, 4)
+        nearest_idx, has_nearest = _choose_neighbor(
+            k_nb, nearest_table[view_idx], nearest_mask[view_idx], view_idx)
+        nearest_cam = index_camera(camera_stack, nearest_idx)
+
+        C = gaussians.capacity
+
+        def loss_fn(params, sink, abs_sink, light_params):
+            g = gaussians.with_params(params)
+            pkg = render(g, cam, jnp.zeros(3), active_sh_degree,
+                         geometry_stage=geometry_stage,
+                         material_stage=material_stage,
+                         sobel_normal=geometry_stage,
+                         m2d_sink=sink, m2d_abs_sink=abs_sink, **render_kw)
+
+            rgb = jnp.clip(pkg["render"], 0.0, 1.0)
+            Lrgb = L.rgb_loss(rgb, gt, opt.lambda_ssim)
+            Lplane = L.plane_loss(pkg["visibility_filter"], g.get_scaling)
+            loss = opt.lambda_plane * Lplane
+            if use_alpha_loss:
+                loss = loss + opt.lambda_alpha * L.binary_cross_entropy(
+                    pkg["alpha_map"], gt_alpha)
+            if not material_stage:
+                loss = loss + Lrgb
+
+            Lgeo = jnp.float32(0.0)
+            if geometry_stage:
+                npkg = render(g, nearest_cam, jnp.zeros(3), active_sh_degree,
+                              geometry_stage=True, material_stage=material_stage,
+                              **render_kw)
+                mv = L.multi_view_loss(
+                    opt, cam, nearest_cam, pkg, npkg,
+                    gray_images[view_idx], gray_images[nearest_idx],
+                    k_mv, material_stage, ncc_scale)
+                Lmv = jnp.where(has_nearest, mv.loss, 0.0)
+                Ldn = L.depth_normal_loss(pkg["normal_map"], pkg["sobel_map"], gt)
+                Lgeo = opt.lambda_depth_normal * Ldn + opt.lambda_multi_view * Lmv
+                loss = loss + Lgeo
+
+            Lmat = jnp.float32(0.0)
+            if material_stage:
+                assert pbr_fns is not None, "material stage requires pbr_fns"
+                Lmat = pbr_fns["material_losses"](
+                    g, cam, pkg, gt, light_params, opt, model_cfg,
+                    nearby_table[view_idx], nearby_mask[view_idx],
+                    gray_images, camera_stack, k_rough, ncc_scale,
+                    active_sh_degree, render_kw)
+                loss = loss + Lmat
+
+            aux = {"Lrgb": Lrgb, "Lgeo": Lgeo, "Lmat": Lmat,
+                   "radii": pkg["radii"], "observe": pkg["observe"],
+                   "visibility": pkg["visibility_filter"],
+                   "dropped": pkg["dropped"], "psnr_proxy": Lrgb}
+            return loss, aux
+
+        sink = jnp.zeros((C, 2), jnp.float32)
+        abs_sink = jnp.zeros((C, 2), jnp.float32)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3),
+                                                has_aux=True)(
+            gaussians.params_dict(), sink, abs_sink, light_state)
+        param_grads, sink_grad, abs_grad, light_grad = grads
+
+        # The XLA-autodiff backend has no per-pixel abs channel; fall back to
+        # |signed| (the Pallas backward provides the true AbsGS statistic).
+        if backend != "pallas":
+            abs_grad = sink_grad
+        stats = D.update_stats(stats, sink_grad, abs_grad, aux["visibility"],
+                               aux["radii"], aux["observe"], W, H)
+
+        lrs = group_lrs(opt, scene.cameras_extent, xyz_lr_fn(iteration))
+        new_params, opt_state = adam_update(gaussians.params_dict(),
+                                            param_grads, opt_state, lrs)
+        gaussians = gaussians.with_params(new_params)
+        metrics = {"loss": loss, "Lrgb": aux["Lrgb"], "Lgeo": aux["Lgeo"],
+                   "Lmat": aux["Lmat"], "dropped": aux["dropped"]}
+        return gaussians, opt_state, stats, light_grad, metrics
+
+    return step
+
+
+def make_observe_counter(scene: Scene, pipe: PipelineConfig, instance_cap: int,
+                         backend: str | None = None) -> Callable:
+    """Count, per Gaussian, in how many train views it is observed
+    (train.py:236-245: observe > 0 per view, trim when seen in < 2 views)."""
+    backend = backend or ("pallas" if pipe.use_pallas else "xla")
+    camera_stack = scene.camera_stack
+    V = len(scene.train_cameras)
+    render_kw = dict(backend=backend, tile=pipe.tile, chunk=pipe.chunk,
+                     instance_cap=instance_cap)
+
+    @partial(jax.jit, static_argnames=("active_sh_degree",))
+    def count(gaussians: Gaussians, active_sh_degree: int):
+        def body(carry, v):
+            cam = index_camera(camera_stack, v)
+            pkg = render(gaussians, cam, jnp.zeros(3), active_sh_degree,
+                         **render_kw)
+            return carry + (pkg["observe"] > 0).astype(jnp.int32), None
+
+        counts, _ = jax.lax.scan(body, jnp.zeros((gaussians.capacity,), jnp.int32),
+                                 jnp.arange(V))
+        return counts
+
+    return count
+
+
+class Trainer:
+    """Host-side orchestration: stage gates, schedules, capacity growth."""
+
+    def __init__(self, model_cfg: ModelConfig, pipe: PipelineConfig,
+                 opt: OptimConfig, scene: Scene, capacity: int | None = None,
+                 backend: str | None = None, seed: int = 0,
+                 pbr_fns: dict | None = None):
+        self.model_cfg, self.pipe, self.opt, self.scene = model_cfg, pipe, opt, scene
+        self.backend = backend or ("pallas" if pipe.use_pallas else "xla")
+        self.pbr_fns = pbr_fns
+
+        # Material staging (train.py:35-40).
+        self.material_from_iter = (opt.geometry_from_iter if model_cfg.material
+                                   else opt.iterations)
+
+        n0 = scene.info.points.shape[0]
+        cap = capacity or max(2 ** int(np.ceil(np.log2(max(n0 * 4, 1024)))), 1024)
+        self.gaussians = Gaussians.create(scene.info.points, scene.info.colors,
+                                          model_cfg.sh_degree, capacity=cap)
+        if opt.prune_init_points:
+            self.gaussians = D.prune_init_points(self.gaussians)
+        self.opt_state = adam_init(self.gaussians.params_dict())
+        self.stats = D.DensifyStats.zeros(cap)
+        self.active_sh_degree = 0
+        self.light_state = (pbr_fns["init_light"]() if pbr_fns and model_cfg.material
+                            else jnp.zeros((1,), jnp.float32))
+        self.light_opt_state = adam_init(self.light_state)
+
+        self.instance_cap = int(pipe.instance_cap_mult * cap // pipe.chunk
+                                * pipe.chunk) or pipe.chunk
+        self.instance_cap = max(self.instance_cap, 4 * pipe.chunk)
+
+        self._steps: dict[tuple, Callable] = {}
+        self._observe_counter = None
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self._view_pool: list[int] = []
+        self.iteration = 0
+        self.history: list[dict] = []
+
+    # --- step dispatch ---------------------------------------------------------
+
+    def _stage_flags(self, iteration: int) -> tuple[bool, bool]:
+        return (iteration > self.opt.geometry_from_iter,
+                iteration > self.material_from_iter)
+
+    def _get_step(self, geometry_stage: bool, material_stage: bool) -> Callable:
+        key = (geometry_stage, material_stage, self.gaussians.capacity)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.model_cfg, self.pipe, self.opt, self.scene,
+                self.instance_cap, geometry_stage, material_stage,
+                self.backend, self.pbr_fns)
+        return self._steps[key]
+
+    def _next_view(self) -> int:
+        if not self._view_pool:
+            self._view_pool = list(range(len(self.scene.train_cameras)))
+            self.rng.shuffle(self._view_pool)
+        return self._view_pool.pop()
+
+    # --- public API --------------------------------------------------------------
+
+    def train_step(self) -> dict:
+        self.iteration += 1
+        it = self.iteration
+        if it % 1000 == 0 and self.active_sh_degree < self.gaussians.max_sh_degree:
+            self.active_sh_degree += 1
+
+        geometry_stage, material_stage = self._stage_flags(it)
+        step = self._get_step(geometry_stage, material_stage)
+        self.key, sub = jax.random.split(self.key)
+        view_idx = self._next_view()
+
+        (self.gaussians, self.opt_state, self.stats, light_grad,
+         metrics) = step(self.gaussians, self.opt_state, self.stats,
+                         self.scene.gt_images, self.scene.alpha_masks,
+                         self.scene.gray_images
+                         if self.scene.gray_images is not None
+                         else self.scene.gt_images[:, :1],
+                         self.light_state, jnp.int32(view_idx), sub,
+                         jnp.int32(it), self.active_sh_degree)
+
+        if material_stage and self.pbr_fns is not None:
+            self.light_state, self.light_opt_state = self.pbr_fns["light_update"](
+                self.light_state, light_grad, self.light_opt_state,
+                self.opt.opacity_lr)
+
+        self._maintenance(it)
+        return metrics
+
+    def _maintenance(self, it: int):
+        opt = self.opt
+        if it <= opt.densify_until_iter:
+            if it > opt.densify_from_iter and it % opt.densification_interval == 0:
+                self._maybe_grow()
+                self.key, sub = jax.random.split(self.key)
+                use_radii = it > opt.opacity_reset_interval
+                (self.gaussians, self.opt_state, self.stats,
+                 info) = D.densify_and_prune(
+                    self.gaussians, self.opt_state, self.stats, sub,
+                    opt.densify_grad_threshold, opt.densify_grad_abs_threshold,
+                    opt.opacity_prune_threshold, self.scene.cameras_extent,
+                    opt.percent_dense, opt.radii2D_threshold,
+                    use_radii_threshold=use_radii)
+                self.last_densify_info = {k: int(v) for k, v in info.items()}
+
+        if (opt.use_multi_view_trim and it % 1000 == 0
+                and it < opt.densify_until_iter):
+            if self._observe_counter is None:
+                self._observe_counter = make_observe_counter(
+                    self.scene, self.pipe, self.instance_cap, self.backend)
+            counts = self._observe_counter(self.gaussians, self.active_sh_degree)
+            trim = (counts < 2) & self.gaussians.alive
+            self.gaussians, self.opt_state, self.stats = D.prune_rows(
+                self.gaussians, self.opt_state, self.stats, trim)
+
+        if it <= opt.densify_until_iter:
+            if opt.use_opacity_reduce and it % opt.opacity_reduce_interval == 0:
+                self.gaussians, self.opt_state = D.reset_opacity(
+                    self.gaussians, self.opt_state, cap=0.8)
+            if it % opt.opacity_reset_interval == 0 or (
+                    self.model_cfg.white_background and it == opt.densify_from_iter):
+                self.gaussians, self.opt_state = D.reset_opacity(
+                    self.gaussians, self.opt_state, cap=0.01)
+
+    def _maybe_grow(self):
+        """Grow capacity when free slots drop below 1/8th (powers of two)."""
+        alive = int(self.gaussians.num_alive)
+        cap = self.gaussians.capacity
+        if cap - alive < cap // 8:
+            new_cap = cap * 2
+            self.gaussians, self.opt_state, self.stats = D.grow_capacity(
+                self.gaussians, self.opt_state, self.stats, new_cap)
+            self.instance_cap = int(self.pipe.instance_cap_mult * new_cap
+                                    // self.pipe.chunk * self.pipe.chunk)
+            self._steps.clear()
+            self._observe_counter = None
+
+    # --- persistence ----------------------------------------------------------
+
+    def save_snapshot(self, iteration: int):
+        """PLY snapshot of alive Gaussians (scene/__init__.py:108-115)."""
+        from gs2m_tpu.data.ply import save_gaussian_ply
+        d = self.scene.save_dir(iteration)
+        g = self.gaussians
+        alive = np.asarray(g.alive)
+
+        def take(x):
+            return np.asarray(x)[alive]
+
+        save_gaussian_ply(os.path.join(d, "point_cloud.ply"),
+                          take(g.xyz), take(g.features_dc), take(g.features_rest),
+                          take(g.opacity), take(g.scaling), take(g.rotation),
+                          take(g.albedo), take(g.roughness), take(g.metallic))
+        if self.model_cfg.material and self.pbr_fns is not None:
+            with open(os.path.join(d, "lighting.pkl"), "wb") as f:
+                pickle.dump(np.asarray(self.light_state), f)
+
+    def save_checkpoint(self, path: str):
+        state = {
+            "iteration": self.iteration,
+            "active_sh_degree": self.active_sh_degree,
+            "gaussians": jax.tree.map(np.asarray, self.gaussians),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "stats": jax.tree.map(np.asarray, self.stats),
+            "light_state": np.asarray(self.light_state),
+            "light_opt_state": jax.tree.map(np.asarray, self.light_opt_state),
+        }
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_checkpoint(self, path: str):
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.iteration = state["iteration"]
+        self.active_sh_degree = state["active_sh_degree"]
+        self.gaussians = jax.tree.map(jnp.asarray, state["gaussians"])
+        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        self.stats = jax.tree.map(jnp.asarray, state["stats"])
+        self.light_state = jnp.asarray(state["light_state"])
+        self.light_opt_state = jax.tree.map(jnp.asarray, state["light_opt_state"])

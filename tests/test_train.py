@@ -1,0 +1,189 @@
+"""End-to-end training semantics on the synthetic scene + densify unit tests."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs2m_tpu.core.config import ModelConfig, OptimConfig, PipelineConfig
+from gs2m_tpu.core.gaussians import Gaussians
+from gs2m_tpu.train import densify as D
+from gs2m_tpu.train.optim import (AdamState, adam_init, adam_update, expon_lr,
+                                  group_lrs)
+
+
+def tiny_gaussians(n=8, capacity=16, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    return Gaussians.create(pts, cols, 1, capacity, mean_sq_dist=np.full(n, 0.01))
+
+
+def test_adam_matches_torch_semantics():
+    # One-param quadratic: verify bias-corrected Adam trajectory vs closed form.
+    import torch
+
+    p0 = np.array([1.0, -2.0], np.float32)
+    params = {"x": jnp.asarray(p0)}
+    state = adam_init(params)
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([tp], lr=0.1, eps=1e-15)
+    for _ in range(10):
+        g = {"x": 2.0 * params["x"]}
+        params, state = adam_update(params, g, state, {"x": 0.1})
+        tp.grad = 2.0 * tp.detach().clone()
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params["x"]), tp.detach().numpy(),
+                               atol=2e-4)  # float32 op-order noise only
+
+
+def test_expon_lr_endpoints():
+    f = lambda s: float(expon_lr(s, 1e-2, 1e-4, max_steps=100))
+    assert abs(f(0) - 1e-2) < 1e-9
+    assert abs(f(100) - 1e-4) < 1e-9
+    assert 1e-4 < f(50) < 1e-2
+
+
+def test_densify_clone():
+    g = tiny_gaussians()
+    state = adam_init(g.params_dict())
+    stats = D.DensifyStats.zeros(g.capacity)
+    # Row 0: high mean grad, small scale -> clone.
+    stats = dataclasses.replace(
+        stats,
+        accum=stats.accum.at[0].set(1.0),
+        denom=stats.denom.at[0].set(1.0))
+    n0 = int(g.num_alive)
+    g2, state2, stats2, info = D.densify_and_prune(
+        g, state, stats, jax.random.PRNGKey(0),
+        grad_threshold=0.5, grad_abs_threshold=1e9, min_opacity=0.0,
+        extent=1000.0, percent_dense=0.001, radii2d_threshold=20.0)
+    assert int(info["cloned"]) == 1 and int(info["split"]) == 0
+    assert int(g2.num_alive) == n0 + 1
+    # Clone is an exact copy of row 0's parameters.
+    new_rows = np.asarray(g2.alive & ~g.alive)
+    idx = int(np.nonzero(new_rows)[0][0])
+    np.testing.assert_allclose(np.asarray(g2.xyz[idx]), np.asarray(g.xyz[0]))
+    # Stats reset.
+    assert float(stats2.accum.sum()) == 0.0
+
+
+def test_densify_split_kills_original_and_scales_down():
+    g = tiny_gaussians()
+    # Make row 1 large so it qualifies for split.
+    g = dataclasses.replace(g, scaling=g.scaling.at[1].set(jnp.log(1.0)))
+    state = adam_init(g.params_dict())
+    stats = D.DensifyStats.zeros(g.capacity)
+    stats = dataclasses.replace(
+        stats,
+        accum_abs=stats.accum_abs.at[1].set(1.0),
+        denom=stats.denom.at[1].set(1.0))
+    n0 = int(g.num_alive)
+    g2, _, _, info = D.densify_and_prune(
+        g, state, stats, jax.random.PRNGKey(1),
+        grad_threshold=1e9, grad_abs_threshold=0.5, min_opacity=0.0,
+        extent=1.0, percent_dense=0.001, radii2d_threshold=20.0)
+    assert int(info["split"]) == 1
+    assert int(g2.num_alive) == n0 + 1  # -1 original +2 children
+    # Exactly two alive slots carry the split-child scale (original scale / 1.6);
+    # the original's isotropic scale=1.0 row is gone (its slot may be recycled).
+    alive2 = np.asarray(g2.alive)
+    smax = np.asarray(g2.get_scaling).max(-1)
+    assert ((np.abs(smax - 1.0 / 1.6) < 1e-4) & alive2).sum() == 2
+    assert ((np.abs(smax - 1.0) < 1e-4) & alive2).sum() == 0
+
+
+def test_densify_prune_by_opacity():
+    g = tiny_gaussians()
+    g = dataclasses.replace(g, opacity=g.opacity.at[2].set(-10.0))  # ~0
+    state = adam_init(g.params_dict())
+    stats = D.DensifyStats.zeros(g.capacity)
+    g2, _, _, info = D.densify_and_prune(
+        g, state, stats, jax.random.PRNGKey(2),
+        grad_threshold=1e9, grad_abs_threshold=1e9, min_opacity=0.005,
+        extent=1.0, percent_dense=0.001, radii2d_threshold=20.0)
+    assert int(info["pruned"]) == 1
+    assert not bool(g2.alive[2])
+
+
+def test_densify_overflow_reported():
+    g = tiny_gaussians(n=15, capacity=16)
+    state = adam_init(g.params_dict())
+    stats = D.DensifyStats.zeros(16)
+    stats = dataclasses.replace(stats, accum=jnp.ones(16), denom=jnp.ones(16))
+    _, _, _, info = D.densify_and_prune(
+        g, state, stats, jax.random.PRNGKey(3),
+        grad_threshold=0.1, grad_abs_threshold=1e9, min_opacity=0.0,
+        extent=1000.0, percent_dense=0.001, radii2d_threshold=20.0)
+    assert int(info["dropped_children"]) > 0
+
+
+def test_grow_capacity():
+    g = tiny_gaussians(n=8, capacity=16)
+    state = adam_init(g.params_dict())
+    stats = D.DensifyStats.zeros(16)
+    g2, state2, stats2 = D.grow_capacity(g, state, stats, 32)
+    assert g2.capacity == 32
+    assert int(g2.num_alive) == 8
+    assert state2.mu["xyz"].shape == (32, 3)
+    np.testing.assert_allclose(np.asarray(g2.xyz[:16]), np.asarray(g.xyz))
+    # Padded rotations normalizable.
+    assert np.isfinite(np.asarray(g2.get_rotation)).all()
+
+
+def test_reset_opacity():
+    g = tiny_gaussians()
+    state = adam_init(g.params_dict())
+    state = dataclasses.replace(
+        state, mu=dict(state.mu, opacity=jnp.ones_like(state.mu["opacity"])))
+    g2, state2 = D.reset_opacity(g, state, cap=0.01)
+    ops = np.asarray(jax.nn.sigmoid(g2.opacity))[np.asarray(g.alive)]
+    assert (ops <= 0.0101).all()
+    assert float(jnp.abs(state2.mu["opacity"]).sum()) == 0.0
+
+
+@pytest.mark.slow
+def test_training_converges_on_synthetic(tmp_path):
+    """The full Trainer improves PSNR on the synthetic scene within ~300 iters."""
+    from tests.make_synthetic_scene import build
+
+    from gs2m_tpu.data.scene import Scene
+    from gs2m_tpu.models.render import render
+    from gs2m_tpu.train.trainer import Trainer
+
+    src = build(str(tmp_path / "scene"), n_views=8, width=48, height=32,
+                n_points=120)
+    mc = ModelConfig(source_path=src, resolution=1,
+                     model_path=str(tmp_path / "out"))
+    pipe = PipelineConfig(chunk=64, use_pallas=False)
+    opt = OptimConfig(iterations=300, densify_from_iter=100,
+                      densification_interval=100, opacity_reset_interval=10_000,
+                      geometry_from_iter=150, multi_view_max_angle=100.0,
+                      multi_view_max_dist=100.0, multi_view_sample_num=256,
+                      lambda_plane=1.0, use_multi_view_trim=False,
+                      prune_init_points=False)
+    scene = Scene(mc, opt)
+    trainer = Trainer(mc, pipe, opt, scene, capacity=256)
+
+    def psnr():
+        cam = scene.train_cameras[0]
+        pkg = render(trainer.gaussians, cam, jnp.zeros(3),
+                     trainer.active_sh_degree, backend="xla", chunk=64,
+                     instance_cap=trainer.instance_cap)
+        mse = jnp.mean((jnp.clip(pkg["render"], 0, 1) - scene.gt_images[0]) ** 2)
+        return float(10 * jnp.log10(1.0 / mse))
+
+    p0 = psnr()
+    losses = []
+    while trainer.iteration < opt.iterations:
+        m = trainer.train_step()
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1]), f"loss diverged at {trainer.iteration}"
+    p1 = psnr()
+    assert p1 > p0 + 3.0, f"PSNR {p0:.2f} -> {p1:.2f}"
+    # Geometry stage ran without NaNs and produced a geo loss.
+    assert any(l > 0 for l in losses[160:])
+    trainer.save_snapshot(opt.iterations)
+    import os
+    assert os.path.exists(tmp_path / "out/point_cloud/iteration_300/point_cloud.ply")
