@@ -1,0 +1,115 @@
+"""Benchmark: differentiable rasterizer forward+backward throughput.
+
+Measures the production (Pallas) render path end-to-end — projection,
+binning, tiled blend, hand-derived backward, per-Gaussian grads — at the
+reference's canonical working resolution 1600x1200 (DTU full-res,
+SURVEY.md §6) on one chip, and prints ONE JSON line:
+
+  {"metric": "fwd_bwd_mpixels_per_s", "value": ..., "unit": "Mpixel/s",
+   "vs_baseline": ...}
+
+vs_baseline compares against BENCH_BASELINE.json (written on first run) so
+round-over-round regressions/improvements are visible.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_bench_scene(n_gaussians: int, width: int, height: int, seed: int = 0):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gs2m_tpu.core.camera import Camera
+    from gs2m_tpu.core.gaussians import Gaussians
+
+    rng = np.random.default_rng(seed)
+    # A slab of Gaussians filling the frustum at varied depths.
+    pts = np.stack([
+        rng.uniform(-1.6, 1.6, n_gaussians),
+        rng.uniform(-1.2, 1.2, n_gaussians),
+        rng.uniform(-1.0, 1.0, n_gaussians),
+    ], -1).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, (n_gaussians, 3)).astype(np.float32)
+    # Scales sized so each Gaussian covers a few pixels at this density.
+    msd = np.full(n_gaussians, 2.0e-5, np.float32)
+    g = Gaussians.create(pts, cols, max_sh_degree=3, capacity=n_gaussians,
+                         mean_sq_dist=msd)
+    q = rng.normal(size=(n_gaussians, 4)).astype(np.float32)
+    g = dataclasses.replace(
+        g, rotation=jnp.asarray(q),
+        opacity=jnp.full((n_gaussians, 1), 0.8))  # sigmoid -> ~0.69
+    cam = Camera.create(np.eye(3), np.array([0.0, 0.0, 4.0]),
+                        fovx=0.8, fovy=0.62, width=width, height=height)
+    return g, cam
+
+
+def run_bench(n_gaussians=500_000, width=1600, height=1200, iters=20,
+              backend="pallas", instance_cap=2 ** 21, chunk=256):
+    import jax
+    import jax.numpy as jnp
+
+    from gs2m_tpu.models.render import render
+
+    g, cam = build_bench_scene(n_gaussians, width, height)
+    target = jnp.zeros((3, height, width))
+
+    def loss_fn(params):
+        pkg = render(g.with_params(params), cam, jnp.zeros(3),
+                     active_sh_degree=3, geometry_stage=True,
+                     backend=backend, chunk=chunk, instance_cap=instance_cap)
+        return (jnp.mean(jnp.abs(pkg["render"] - target))
+                + 0.1 * jnp.mean(pkg["depth_map"] ** 2)
+                + 0.1 * jnp.mean(jnp.abs(pkg["normal_map"])))
+
+    step = jax.jit(jax.grad(loss_fn))
+    params = g.params_dict()
+
+    # Diagnostics: report actual instance load once.
+    from gs2m_tpu.ops.projection import project
+    from gs2m_tpu.ops.binning import bin_gaussians
+    proj = project(g, cam, 3)
+    binning = bin_gaussians(proj, height, width, 16, instance_cap, chunk)
+    n_inst = int(binning.num_instances)
+    dropped = int(binning.dropped)
+
+    grads = step(params)
+    jax.block_until_ready(grads)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        grads = step(params)
+    jax.block_until_ready(grads)
+    dt = (time.perf_counter() - t0) / iters
+    mpix = width * height / dt / 1e6
+    return {"mpixels_per_s": mpix, "step_ms": dt * 1e3,
+            "instances": n_inst, "dropped": dropped,
+            "gaussians": n_gaussians}
+
+
+def main():
+    res = run_bench()
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)["value"]
+    else:
+        base = res["mpixels_per_s"]
+        with open(base_path, "w") as f:
+            json.dump({"metric": "fwd_bwd_mpixels_per_s", "value": base,
+                       "note": "first recorded run (this repo's own r1)"}, f)
+    print(json.dumps({
+        "metric": "fwd_bwd_mpixels_per_s",
+        "value": round(res["mpixels_per_s"], 2),
+        "unit": "Mpixel/s",
+        "vs_baseline": round(res["mpixels_per_s"] / base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,19 +41,14 @@ def _choose_neighbor(key, table_row, mask_row, self_idx):
     return jnp.where(count > 0, table_row[r], self_idx), count > 0
 
 
-def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
-                    opt: OptimConfig, scene: Scene, instance_cap: int,
-                    geometry_stage: bool, material_stage: bool,
-                    backend: str | None = None,
-                    pbr_fns: dict | None = None) -> Callable:
-    """Build the jitted step for one stage. `pbr_fns` supplies the material-
-    stage callables (cubemap shading) once the pbr module is wired in."""
-    backend = backend or ("pallas" if pipe.use_pallas else "xla")
+def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
+                        opt: OptimConfig, scene: Scene, instance_cap: int,
+                        geometry_stage: bool, material_stage: bool,
+                        backend: str, pbr_fns: dict | None) -> Callable:
+    """The per-view staged loss (train.py:94-189) as a pure function —
+    shared by the single-chip step and the shard_map data-parallel step."""
     use_alpha_loss = model_cfg.white_background or model_cfg.mask_gt
     ncc_scale = scene.ncc_scale
-    xyz_lr_fn = xyz_lr_schedule(opt, scene.cameras_extent)
-    H = scene.train_cameras[0].height
-    W = scene.train_cameras[0].width
     render_kw = dict(backend=backend, tile=pipe.tile, chunk=pipe.chunk,
                      instance_cap=instance_cap,
                      z_depth=pipe.z_depth, blend_metallic=model_cfg.metallic)
@@ -62,68 +57,91 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
     nearest_table, nearest_mask = scene.nearest_table, scene.nearest_mask
     nearby_table, nearby_mask = scene.nearby_table, scene.nearby_mask
 
-    @partial(jax.jit, static_argnames=("active_sh_degree",), donate_argnums=(0, 1, 2))
-    def step(gaussians: Gaussians, opt_state: AdamState, stats: D.DensifyStats,
-             gt_images, alpha_masks, gray_images, light_state,
-             view_idx, key, iteration, active_sh_degree: int):
+    def view_objective(gaussians: Gaussians, params, sink, abs_sink,
+                       light_params, view_idx, gt_images, alpha_masks,
+                       gray_images, key, active_sh_degree: int):
         cam = index_camera(camera_stack, view_idx)
         gt = gt_images[view_idx]
         gt_alpha = alpha_masks[view_idx]
-
-        k_nb, k_mv, k_rough, k_split = jax.random.split(key, 4)
+        k_nb, k_mv, k_rough = jax.random.split(key, 3)
         nearest_idx, has_nearest = _choose_neighbor(
             k_nb, nearest_table[view_idx], nearest_mask[view_idx], view_idx)
         nearest_cam = index_camera(camera_stack, nearest_idx)
 
+        g = gaussians.with_params(params)
+        pkg = render(g, cam, jnp.zeros(3), active_sh_degree,
+                     geometry_stage=geometry_stage,
+                     material_stage=material_stage,
+                     sobel_normal=geometry_stage,
+                     m2d_sink=sink, m2d_abs_sink=abs_sink, **render_kw)
+
+        rgb = jnp.clip(pkg["render"], 0.0, 1.0)
+        Lrgb = L.rgb_loss(rgb, gt, opt.lambda_ssim)
+        Lplane = L.plane_loss(pkg["visibility_filter"], g.get_scaling)
+        loss = opt.lambda_plane * Lplane
+        if use_alpha_loss:
+            loss = loss + opt.lambda_alpha * L.binary_cross_entropy(
+                pkg["alpha_map"], gt_alpha)
+        if not material_stage:
+            loss = loss + Lrgb
+
+        Lgeo = jnp.float32(0.0)
+        if geometry_stage:
+            npkg = render(g, nearest_cam, jnp.zeros(3), active_sh_degree,
+                          geometry_stage=True, material_stage=material_stage,
+                          **render_kw)
+            mv = L.multi_view_loss(
+                opt, cam, nearest_cam, pkg, npkg,
+                gray_images[view_idx], gray_images[nearest_idx],
+                k_mv, material_stage, ncc_scale)
+            Lmv = jnp.where(has_nearest, mv.loss, 0.0)
+            Ldn = L.depth_normal_loss(pkg["normal_map"], pkg["sobel_map"], gt)
+            Lgeo = opt.lambda_depth_normal * Ldn + opt.lambda_multi_view * Lmv
+            loss = loss + Lgeo
+
+        Lmat = jnp.float32(0.0)
+        if material_stage:
+            assert pbr_fns is not None, "material stage requires pbr_fns"
+            Lmat = pbr_fns["material_losses"](
+                g, cam, pkg, gt, light_params, opt, model_cfg,
+                nearby_table[view_idx], nearby_mask[view_idx],
+                gray_images[view_idx], gray_images, camera_stack,
+                k_rough, ncc_scale, active_sh_degree, render_kw)
+            loss = loss + Lmat
+
+        aux = {"Lrgb": Lrgb, "Lgeo": Lgeo, "Lmat": Lmat,
+               "radii": pkg["radii"], "observe": pkg["observe"],
+               "visibility": pkg["visibility_filter"],
+               "dropped": pkg["dropped"]}
+        return loss, aux
+
+    return view_objective
+
+
+def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
+                    opt: OptimConfig, scene: Scene, instance_cap: int,
+                    geometry_stage: bool, material_stage: bool,
+                    backend: str | None = None,
+                    pbr_fns: dict | None = None) -> Callable:
+    """Build the jitted step for one stage."""
+    backend = backend or ("pallas" if pipe.use_pallas else "xla")
+    xyz_lr_fn = xyz_lr_schedule(opt, scene.cameras_extent)
+    H = scene.train_cameras[0].height
+    W = scene.train_cameras[0].width
+    objective = make_view_objective(model_cfg, pipe, opt, scene, instance_cap,
+                                    geometry_stage, material_stage, backend,
+                                    pbr_fns)
+
+    @partial(jax.jit, static_argnames=("active_sh_degree",), donate_argnums=(0, 1, 2))
+    def step(gaussians: Gaussians, opt_state: AdamState, stats: D.DensifyStats,
+             gt_images, alpha_masks, gray_images, light_state,
+             view_idx, key, iteration, active_sh_degree: int):
         C = gaussians.capacity
 
         def loss_fn(params, sink, abs_sink, light_params):
-            g = gaussians.with_params(params)
-            pkg = render(g, cam, jnp.zeros(3), active_sh_degree,
-                         geometry_stage=geometry_stage,
-                         material_stage=material_stage,
-                         sobel_normal=geometry_stage,
-                         m2d_sink=sink, m2d_abs_sink=abs_sink, **render_kw)
-
-            rgb = jnp.clip(pkg["render"], 0.0, 1.0)
-            Lrgb = L.rgb_loss(rgb, gt, opt.lambda_ssim)
-            Lplane = L.plane_loss(pkg["visibility_filter"], g.get_scaling)
-            loss = opt.lambda_plane * Lplane
-            if use_alpha_loss:
-                loss = loss + opt.lambda_alpha * L.binary_cross_entropy(
-                    pkg["alpha_map"], gt_alpha)
-            if not material_stage:
-                loss = loss + Lrgb
-
-            Lgeo = jnp.float32(0.0)
-            if geometry_stage:
-                npkg = render(g, nearest_cam, jnp.zeros(3), active_sh_degree,
-                              geometry_stage=True, material_stage=material_stage,
-                              **render_kw)
-                mv = L.multi_view_loss(
-                    opt, cam, nearest_cam, pkg, npkg,
-                    gray_images[view_idx], gray_images[nearest_idx],
-                    k_mv, material_stage, ncc_scale)
-                Lmv = jnp.where(has_nearest, mv.loss, 0.0)
-                Ldn = L.depth_normal_loss(pkg["normal_map"], pkg["sobel_map"], gt)
-                Lgeo = opt.lambda_depth_normal * Ldn + opt.lambda_multi_view * Lmv
-                loss = loss + Lgeo
-
-            Lmat = jnp.float32(0.0)
-            if material_stage:
-                assert pbr_fns is not None, "material stage requires pbr_fns"
-                Lmat = pbr_fns["material_losses"](
-                    g, cam, pkg, gt, light_params, opt, model_cfg,
-                    nearby_table[view_idx], nearby_mask[view_idx],
-                    gray_images, camera_stack, k_rough, ncc_scale,
-                    active_sh_degree, render_kw)
-                loss = loss + Lmat
-
-            aux = {"Lrgb": Lrgb, "Lgeo": Lgeo, "Lmat": Lmat,
-                   "radii": pkg["radii"], "observe": pkg["observe"],
-                   "visibility": pkg["visibility_filter"],
-                   "dropped": pkg["dropped"], "psnr_proxy": Lrgb}
-            return loss, aux
+            return objective(gaussians, params, sink, abs_sink, light_params,
+                             view_idx, gt_images, alpha_masks, gray_images,
+                             key, active_sh_degree)
 
         sink = jnp.zeros((C, 2), jnp.float32)
         abs_sink = jnp.zeros((C, 2), jnp.float32)
@@ -262,6 +280,12 @@ class Trainer:
             self.light_state, self.light_opt_state = self.pbr_fns["light_update"](
                 self.light_state, light_grad, self.light_opt_state,
                 self.opt.opacity_lr)
+
+        # No silent caps: binning overflow doubles the instance buffer.
+        if it % 50 == 0 and int(metrics["dropped"]) > 0:
+            self.instance_cap *= 2
+            self._steps.clear()
+            self._observe_counter = None
 
         self._maintenance(it)
         return metrics
