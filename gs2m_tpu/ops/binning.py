@@ -108,11 +108,16 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     ct = jnp.clip(ct, 0, T - 1)
     chunk_tile = jnp.where(chunk_starts < atotal, ct, T)
 
+    # A tile only renders if at least one chunk actually carries it (overflow
+    # can cut a nonempty tile's chunks entirely; it then composites as pure
+    # background on every backend — and is counted in `dropped`).
+    covered = jnp.zeros((T + 1,), bool).at[chunk_tile].set(True)[:T]
+
     return Binning(
         gid=gid.astype(jnp.int32),
         is_null=is_null,
         chunk_tile=chunk_tile,
-        tile_nonempty=counts > 0,
+        tile_nonempty=(counts > 0) & covered,
         num_instances=total.astype(jnp.int32),
         dropped=(dropped_expand + dropped_align).astype(jnp.int32),
     )

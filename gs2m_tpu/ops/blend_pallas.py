@@ -1,0 +1,443 @@
+"""Pallas TPU kernels for tiled alpha blending: forward + hand-derived backward.
+
+The production twin of ops/blend_xla.py (identical math: chunked
+log-transmittance compositing). Semantics trace back to the CUDA render
+kernels (/root/reference/submodules/diff-gaussian-rasterization/
+cuda_rasterizer/forward.cu:246-372, backward.cu:412-598), re-derived for TPU:
+
+* one grid step per CHUNK of depth-sorted instances; chunk-aligned binning
+  guarantees each chunk belongs to exactly one 16x16 pixel tile, so the
+  output tile block stays resident in VMEM across consecutive grid steps
+* layout: instances ride the sublane axis, pixels the lane axis
+  (alpha/weight blocks are (chunk, P=256)); per-instance tables are stored
+  TRANSPOSED — geom (8, I), values (16, I) — so HBM tiles are dense
+* the whole chunk's 13-channel accumulation is ONE MXU matmul
+  V(16,chunk) @ W(chunk,P)
+* early termination (T < 1e-4) is a cummax over the crossing flag; a chunk
+  whose tile is fully terminated skips its math under @pl.when
+* the backward pass sweeps chunks in REVERSE grid order, reconstructing
+  per-instance transmittance from per-chunk saved carries (logT + done at
+  chunk start, (n_chunks, P) each — the TPU replacement for the CUDA
+  back-to-front T-division, backward.cu:532), carrying the per-pixel suffix
+  accumulator S = final_T*dL_dT + sum_{k>j} w_k (g.v_k), and emitting
+  per-instance grads that are scatter-added per Gaussian OUTSIDE the kernel
+  (deterministic segmented reduction — no atomics, unlike backward.cu:582-595)
+* the backward also accumulates the per-pixel ABSOLUTE mean2D gradients
+  (AbsGS channels, backward.cu:586-587) — surfaced through the
+  `m2d_abs_sink` zero input's cotangent.
+
+Gradient oracle: jax.grad of blend_tiles_xla (tests/test_pallas.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gs2m_tpu.ops.binning import Binning, num_tiles
+from gs2m_tpu.ops.blend_xla import ALPHA_MIN, LOG_EPS, BlendOut
+
+LOG_HALF = float(np.log(0.5))
+DONE_FLAG = 1.0  # carried as float (0/1)
+
+
+# =============================================================================
+# Forward kernel
+# =============================================================================
+
+def _pixel_coords(t, tile: int, grid_x: int, P: int):
+    """Lane-axis pixel coordinates (1, P) for tile id t (row-major in-tile)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    ty = t // grid_x
+    tx = t % grid_x
+    px = (tx * tile + lane % tile).astype(jnp.float32)
+    py = (ty * tile + lane // tile).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha_kernel(g8, px, py, width: int, height: int):
+    """Gated alpha (chunk, P) from transposed geometry block (8, chunk)."""
+    mx = g8[0:1, :].T     # (chunk, 1)
+    my = g8[1:2, :].T
+    ca = g8[2:3, :].T
+    cb = g8[3:4, :].T
+    cc = g8[4:5, :].T
+    op = g8[5:6, :].T
+    dx = mx - px          # (chunk, P)
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha = jnp.minimum(0.99, op * jnp.exp(power))
+    inside = (px < width) & (py < height)
+    gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & inside
+    return jnp.where(gate, alpha, 0.0), dx, dy, power
+
+
+def _cumsum0(x):
+    """Inclusive prefix sum along the sublane axis (log-step roll+add;
+    Mosaic has no native cumsum lowering)."""
+    n = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < n:
+        x = x + jnp.where(row >= shift, pltpu.roll(x, shift=shift, axis=0), 0.0)
+        shift *= 2
+    return x
+
+
+def _compose(alpha, logT0, done0):
+    """Shared compositing recurrence (mirrors blend_xla._chunk_blend).
+    alpha (chunk, P); logT0/done0 (1, P). Returns
+    (w, logT_excl, contribute, logT_end, done_end)."""
+    log1m = jnp.log1p(-alpha)
+    cum = _cumsum0(log1m)
+    test_logT = logT0 + cum
+    crossed = (test_logT < LOG_EPS).astype(jnp.float32)
+    done = (done0 + _cumsum0(crossed)) > 0.0
+    contribute = (alpha > 0.0) & ~done
+    logT_excl = test_logT - log1m
+    w = jnp.where(contribute, alpha * jnp.exp(logT_excl), 0.0)
+    logT_end = logT0 + jnp.sum(jnp.where(contribute, log1m, 0.0), axis=0,
+                               keepdims=True)
+    done_end = done[-1:, :].astype(jnp.float32)
+    return w, logT_excl, contribute, logT_end, done_end
+
+
+def _fwd_kernel(chunk_tile_ref,            # scalar prefetch (n_chunks,)
+                geom_ref, vals_ref,        # (8, chunk), (16, chunk)
+                img_ref, fT_ref, clogT_ref, cdone_ref, obs_ref,  # outputs
+                logT_s, done_s,            # scratch (1, P)
+                *, tile: int, grid_x: int, width: int, height: int, P: int):
+    i = pl.program_id(0)
+    t = chunk_tile_ref[i]
+    prev_t = chunk_tile_ref[jnp.maximum(i - 1, 0)]
+    first_of_tile = jnp.logical_or(i == 0, t != prev_t)
+
+    @pl.when(first_of_tile)
+    def _():
+        img_ref[...] = jnp.zeros_like(img_ref)
+        logT_s[...] = jnp.zeros_like(logT_s)
+        done_s[...] = jnp.zeros_like(done_s)
+
+    # Save chunk-start carries for the backward sweep.
+    clogT_ref[0] = logT_s[...]
+    cdone_ref[0] = done_s[...]
+
+    all_done = jnp.all(done_s[...] > 0.0)
+
+    @pl.when(jnp.logical_not(all_done))
+    def _():
+        px, py = _pixel_coords(t, tile, grid_x, P)
+        alpha, _, _, _ = _chunk_alpha_kernel(geom_ref[...], px, py, width, height)
+        w, logT_excl, contribute, logT_end, done_end = _compose(
+            alpha, logT_s[...], done_s[...])
+        img_ref[0] += jnp.dot(vals_ref[...], w,
+                              preferred_element_type=jnp.float32)
+        obs_ref[0] = jnp.sum(
+            (contribute & (logT_excl > LOG_HALF)).astype(jnp.int32),
+            axis=1)[None, :]
+        logT_s[...] = logT_end
+        done_s[...] = done_end
+
+    @pl.when(all_done)
+    def _():
+        obs_ref[...] = jnp.zeros_like(obs_ref)
+
+    fT_ref[0] = jnp.exp(logT_s[...])
+
+
+def _run_forward(geom_t, vals_t, chunk_tile, *, T: int, n_chunks: int,
+                 chunk: int, tile: int, grid_x: int, width: int, height: int,
+                 interpret: bool):
+    P = tile * tile
+    kernel = functools.partial(_fwd_kernel, tile=tile, grid_x=grid_x,
+                               width=width, height=height, P=P)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((8, chunk), lambda i, ct: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, chunk), lambda i, ct: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 16, P), lambda i, ct: (ct[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (ct[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((T + 1, 16, P), jnp.float32),      # per-tile image
+        jax.ShapeDtypeStruct((T + 1, 1, P), jnp.float32),       # final T
+        jax.ShapeDtypeStruct((n_chunks, 1, P), jnp.float32),    # carry logT
+        jax.ShapeDtypeStruct((n_chunks, 1, P), jnp.float32),    # carry done
+        jax.ShapeDtypeStruct((n_chunks, 1, chunk), jnp.int32),  # observe counts
+    ]
+    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
+                          interpret=interpret)(chunk_tile, geom_t, vals_t)
+
+
+# =============================================================================
+# Backward kernel (reverse chunk sweep)
+# =============================================================================
+
+def _bwd_kernel(chunk_tile_ref, rev_ref,    # scalar prefetch
+                geom_ref, vals_ref, clogT_ref, cdone_ref,
+                g_img_ref, gT_ref, fT_ref,
+                dgeom_ref, dvals_ref,       # outputs (8, chunk), (16, chunk)
+                S_s,                        # scratch (1, P): suffix accumulator
+                *, tile: int, grid_x: int, width: int, height: int, P: int):
+    r = pl.program_id(0)
+    i = rev_ref[r]                           # actual chunk index (reverse order)
+    t = chunk_tile_ref[i]
+    nxt = chunk_tile_ref[jnp.minimum(i + 1, chunk_tile_ref.shape[0] - 1)]
+    # Backward enters a tile at its LAST chunk.
+    last_of_tile = jnp.logical_or(i == chunk_tile_ref.shape[0] - 1, t != nxt)
+
+    @pl.when(last_of_tile)
+    def _():
+        # Initialize suffix with the background/final-T term:
+        # dL/dalpha_j -= (final_T * dL/dT) / (1 - alpha_j).
+        S_s[...] = fT_ref[0] * gT_ref[0]
+
+    px, py = _pixel_coords(t, tile, grid_x, P)
+    g8 = geom_ref[...]
+    alpha, dx, dy, power = _chunk_alpha_kernel(g8, px, py, width, height)
+    w, logT_excl, contribute, _, _ = _compose(alpha, clogT_ref[0],
+                                              cdone_ref[0])
+
+    g = g_img_ref[0]                          # (16, P) cotangent for this tile
+    # u_j,p = g . v_j  -> (chunk, P) via MXU.
+    u = jnp.dot(vals_ref[...].T, g, preferred_element_type=jnp.float32)
+
+    wu = w * u
+    # Suffix AFTER j within this chunk: S_s + sum_{k>j} w_k u_k
+    # (= total - inclusive prefix; avoids sublane reversals).
+    total = jnp.sum(wu, axis=0, keepdims=True)
+    S_after = S_s[...] + total - _cumsum0(wu)
+
+    T_excl = jnp.exp(logT_excl)
+    dalpha = jnp.where(contribute,
+                       T_excl * u - S_after / (1.0 - alpha), 0.0)
+
+    # dvals (chunk, 16) = W @ g^T; store transposed into (16, chunk).
+    dvals = jnp.dot(w, g.T, preferred_element_type=jnp.float32)
+    dvals_ref[...] = dvals.T
+
+    # Chain through alpha = opacity * exp(power) (clamp/gates -> w==0 rows
+    # already have dalpha == 0; additionally gate the 0.99 clamp like the
+    # golden twin's jnp.minimum).
+    op = g8[5:6, :].T
+    G = jnp.exp(power)
+    unclamped = (op * G) < 0.99
+    dalpha = jnp.where(unclamped, dalpha, 0.0)
+    dop = jnp.sum(G * dalpha, axis=1)                      # (chunk,)
+    dpower = alpha * dalpha
+    ca = g8[2:3, :].T
+    cb = g8[3:4, :].T
+    cc = g8[4:5, :].T
+    d_ca = jnp.sum(-0.5 * dx * dx * dpower, axis=1)
+    d_cb = jnp.sum(-dx * dy * dpower, axis=1)
+    d_cc = jnp.sum(-0.5 * dy * dy * dpower, axis=1)
+    ddx = -(ca * dx + cb * dy) * dpower                    # (chunk, P)
+    ddy = -(cc * dy + cb * dx) * dpower
+    d_mx = jnp.sum(ddx, axis=1)
+    d_my = jnp.sum(ddy, axis=1)
+    d_mx_abs = jnp.sum(jnp.abs(ddx), axis=1)               # AbsGS channel
+    d_my_abs = jnp.sum(jnp.abs(ddy), axis=1)
+
+    dgeom_ref[...] = jnp.stack(
+        [d_mx, d_my, d_ca, d_cb, d_cc, dop, d_mx_abs, d_my_abs], axis=0)
+
+    S_s[...] = S_s[...] + jnp.sum(wu, axis=0, keepdims=True)
+
+
+def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
+                  T: int, n_chunks: int, chunk: int, tile: int, grid_x: int,
+                  width: int, height: int, interpret: bool):
+    P = tile * tile
+    rev = jnp.arange(n_chunks - 1, -1, -1, dtype=jnp.int32)
+    kernel = functools.partial(_bwd_kernel, tile=tile, grid_x=grid_x,
+                               width=width, height=height, P=P)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((8, chunk), lambda r, ct, rv: (0, rv[r]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, chunk), lambda r, ct, rv: (0, rv[r]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda r, ct, rv: (rv[r], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda r, ct, rv: (rv[r], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, P), lambda r, ct, rv: (ct[rv[r]], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda r, ct, rv: (ct[rv[r]], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda r, ct, rv: (ct[rv[r]], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, chunk), lambda r, ct, rv: (0, rv[r]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, chunk), lambda r, ct, rv: (0, rv[r]),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((8, n_chunks * chunk), jnp.float32),
+        jax.ShapeDtypeStruct((16, n_chunks * chunk), jnp.float32),
+    ]
+    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
+                          interpret=interpret)(
+        chunk_tile, rev, geom_t, vals_t, clogT, cdone, g_img, gT, fT)
+
+
+# =============================================================================
+# custom_vjp wrapper
+# =============================================================================
+
+def _gather_instances(values, means2d, conics, opacities, gid, is_null):
+    """Per-instance transposed tables: geom (8, I), vals (16, I)."""
+    op = jnp.where(is_null, 0.0, opacities[gid])
+    zeros = jnp.zeros_like(op)
+    geom_t = jnp.stack([means2d[gid, 0], means2d[gid, 1], conics[gid, 0],
+                        conics[gid, 1], conics[gid, 2], op, zeros, zeros], 0)
+    vals_t = values[gid].T
+    return geom_t, vals_t
+
+
+def _untile(img_tiles, fT_tiles, tile_nonempty, grid_y, grid_x, tile):
+    T = grid_y * grid_x
+    ne = tile_nonempty.astype(img_tiles.dtype)
+    img = img_tiles[:T] * ne[:, None, None]
+    fT = jnp.where(tile_nonempty[:, None], fT_tiles[:T],
+                   jnp.ones_like(fT_tiles[:T]))
+    img = img.reshape(grid_y, grid_x, 16, tile, tile)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(16, grid_y * tile, grid_x * tile)
+    fT = fT.reshape(grid_y, grid_x, tile, tile)
+    fT = fT.transpose(0, 2, 1, 3).reshape(grid_y * tile, grid_x * tile)
+    return img, fT
+
+
+def _retile(g_img, g_fT, grid_y, grid_x, tile):
+    """Inverse of _untile for the cotangents; appends the dummy tile row."""
+    gi = g_img.reshape(16, grid_y, tile, grid_x, tile)
+    gi = gi.transpose(1, 3, 0, 2, 4).reshape(grid_y * grid_x, 16, tile * tile)
+    gt = g_fT.reshape(grid_y, tile, grid_x, tile)
+    gt = gt.transpose(0, 2, 1, 3).reshape(grid_y * grid_x, 1, tile * tile)
+    pad_i = jnp.zeros((1,) + gi.shape[1:], gi.dtype)
+    pad_t = jnp.zeros((1,) + gt.shape[1:], gt.dtype)
+    return jnp.concatenate([gi, pad_i], 0), jnp.concatenate([gt, pad_t], 0)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13))
+def _blend_pallas_core(values, means2d, conics, opacities, abs_sink,
+                       gid, is_null, chunk_tile, tile_nonempty,
+                       height: int, width: int, tile: int, chunk: int,
+                       interpret: bool):
+    out, _ = _blend_fwd(values, means2d, conics, opacities, abs_sink,
+                        gid, is_null, chunk_tile, tile_nonempty,
+                        height, width, tile, chunk, interpret)
+    return out
+
+
+def _blend_fwd(values, means2d, conics, opacities, abs_sink,
+               gid, is_null, chunk_tile, tile_nonempty,
+               height, width, tile, chunk, interpret):
+    grid_y, grid_x = num_tiles(height, width, tile)
+    T = grid_y * grid_x
+    I = gid.shape[0]
+    n_chunks = I // chunk
+
+    geom_t, vals_t = _gather_instances(values, means2d, conics, opacities,
+                                       gid, is_null)
+    img_tiles, fT_tiles, clogT, cdone, obs = _run_forward(
+        geom_t, vals_t, chunk_tile, T=T, n_chunks=n_chunks, chunk=chunk,
+        tile=tile, grid_x=grid_x, width=width, height=height,
+        interpret=interpret)
+
+    img, fT = _untile(img_tiles, fT_tiles[:, 0], tile_nonempty, grid_y,
+                      grid_x, tile)
+    C = values.shape[0]
+    observe = jnp.zeros((C,), jnp.int32).at[gid].add(
+        jnp.where(is_null, 0, obs.reshape(-1)))
+
+    res = (values, means2d, conics, opacities, gid, is_null, chunk_tile,
+           geom_t, vals_t, clogT, cdone, fT_tiles)
+    return (img, fT, observe), res
+
+
+def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
+    (values, means2d, conics, opacities, gid, is_null, chunk_tile,
+     geom_t, vals_t, clogT, cdone, fT_tiles) = res
+    g_img, g_fT, _ = cts
+    grid_y, grid_x = num_tiles(height, width, tile)
+    T = grid_y * grid_x
+    I = gid.shape[0]
+    n_chunks = I // chunk
+
+    g_img_tiles, g_fT_tiles = _retile(g_img, g_fT, grid_y, grid_x, tile)
+    dgeom, dvals = _run_backward(
+        geom_t, vals_t, chunk_tile, clogT, cdone, g_img_tiles, g_fT_tiles,
+        fT_tiles, T=T, n_chunks=n_chunks, chunk=chunk, tile=tile,
+        grid_x=grid_x, width=width, height=height, interpret=interpret)
+
+    live = ~is_null
+    livef = live.astype(jnp.float32)
+    safe_gid = jnp.where(live, gid, 0)
+
+    C = values.shape[0]
+    d_values = jnp.zeros_like(values).at[safe_gid].add(
+        dvals.T * livef[:, None])
+    dg = dgeom * livef[None, :]
+    d_means2d = jnp.zeros_like(means2d).at[safe_gid].add(
+        jnp.stack([dg[0], dg[1]], -1))
+    d_conics = jnp.zeros_like(conics).at[safe_gid].add(
+        jnp.stack([dg[2], dg[3], dg[4]], -1))
+    d_opac = jnp.zeros_like(opacities).at[safe_gid].add(dg[5])
+    d_abs = jnp.zeros((C, 2), jnp.float32).at[safe_gid].add(
+        jnp.stack([dg[6], dg[7]], -1))
+
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (d_values, d_means2d, d_conics, d_opac, d_abs,
+            f0(gid), f0(is_null), f0(chunk_tile), f0(jnp.zeros(T, bool)))
+
+
+_blend_pallas_core.defvjp(_blend_fwd, _blend_bwd)
+
+
+def blend_tiles_pallas(values, means2d, conics, opacities, binning: Binning,
+                       height: int, width: int, tile: int, chunk: int,
+                       m2d_abs_sink=None, interpret: bool | None = None):
+    """Drop-in replacement for blend_tiles_xla (same outputs, Pallas kernels).
+    `m2d_abs_sink` is a (C, 2) zero tensor whose gradient receives the
+    absolute screen-gradient accumulation for AbsGS densification."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if m2d_abs_sink is None:
+        m2d_abs_sink = jnp.zeros((values.shape[0], 2), jnp.float32)
+    img, fT, observe = _blend_pallas_core(
+        values, means2d, conics, opacities, m2d_abs_sink,
+        binning.gid, binning.is_null, binning.chunk_tile,
+        binning.tile_nonempty, height, width, tile, chunk, interpret)
+    return BlendOut(image=img, final_T=fT, observe=observe)

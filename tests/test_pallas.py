@@ -1,0 +1,131 @@
+"""Pallas blend kernels vs the XLA twin: forward, gradients, AbsGS channel.
+
+Runs in Pallas interpret mode on CPU (SURVEY.md §4 golden-twin strategy).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs2m_tpu.ops.binning import bin_gaussians
+from gs2m_tpu.ops.blend_pallas import blend_tiles_pallas
+from gs2m_tpu.ops.blend_xla import blend_tiles_xla
+from gs2m_tpu.ops.projection import project
+from gs2m_tpu.ops.rasterize import build_features, pack_values
+
+from tests.test_golden import make_camera, make_scene
+
+CHUNK = 256  # pallas chunk = P for dense MXU blocks
+
+
+def setup(seed=7, n=80, capacity=128, w=64, h=48, boost=8.0):
+    rng = np.random.default_rng(seed)
+    cam = make_camera(width=w, height=h)
+    g = make_scene(rng, n=n, capacity=capacity, random_pose=True)
+    proj = project(g, cam, g.max_sh_degree)
+    opa = jnp.minimum(g.get_opacity[:, 0] * boost, 0.995)
+    feats = build_features(g, cam)
+    values = pack_values(proj.colors, feats, 10)
+    binning = bin_gaussians(proj, h, w, 16, instance_cap=2 ** 13, chunk=CHUNK)
+    assert int(binning.dropped) == 0
+    return cam, g, proj, opa, values, binning, (h, w)
+
+
+def test_pallas_forward_matches_xla():
+    cam, g, proj, opa, values, binning, (h, w) = setup()
+    out_x = blend_tiles_xla(values, proj.means2d, proj.conics, opa, binning,
+                            h, w, 16, CHUNK)
+    out_p = blend_tiles_pallas(values, proj.means2d, proj.conics, opa, binning,
+                               h, w, 16, CHUNK, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p.image), np.asarray(out_x.image),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.final_T),
+                               np.asarray(out_x.final_T), atol=1e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_p.observe),
+                                  np.asarray(out_x.observe))
+
+
+def test_pallas_forward_heavy_occlusion():
+    # Stacked opaque gaussians: early termination path.
+    from gs2m_tpu.core.gaussians import Gaussians
+    n = 32
+    rng = np.random.default_rng(10)
+    pts = np.tile(np.array([[0.0, 0.0, 0.0]], np.float32), (n, 1))
+    pts[:, 2] = np.linspace(-0.5, 0.5, n)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    g = Gaussians.create(pts, cols, 0, capacity=n, mean_sq_dist=np.full(n, 0.05))
+    cam = make_camera(width=32, height=32)
+    proj = project(g, cam, 0)
+    opa = jnp.minimum(g.get_opacity[:, 0] * 9.9, 0.995)
+    feats = build_features(g, cam)
+    values = pack_values(proj.colors, feats, 10)
+    binning = bin_gaussians(proj, 32, 32, 16, instance_cap=2 ** 12, chunk=CHUNK)
+    out_x = blend_tiles_xla(values, proj.means2d, proj.conics, opa, binning,
+                            32, 32, 16, CHUNK)
+    out_p = blend_tiles_pallas(values, proj.means2d, proj.conics, opa, binning,
+                               32, 32, 16, CHUNK, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p.image), np.asarray(out_x.image),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_p.observe),
+                                  np.asarray(out_x.observe))
+    assert float(out_p.final_T[16, 16]) < 1e-3
+
+
+def _grads(backend_fn, values, proj, opa, binning, h, w, target):
+    def loss(values, m2d, con, op, abs_sink):
+        if abs_sink is None:
+            out = backend_fn(values, m2d, con, op, binning, h, w, 16, CHUNK)
+        else:
+            out = backend_fn(values, m2d, con, op, binning, h, w, 16, CHUNK,
+                             m2d_abs_sink=abs_sink)
+        img = out.image[:, :h, :w]
+        return (jnp.mean(jnp.abs(img[:3] - target))
+                + 0.05 * jnp.mean(img[3:13] ** 2)
+                + 0.1 * jnp.mean(out.final_T[:h, :w]))
+
+    if backend_fn is blend_tiles_xla:
+        f = lambda v, m, c, o: loss(v, m, c, o, None)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(values, proj.means2d,
+                                                 proj.conics, opa), None
+    abs_sink = jnp.zeros((values.shape[0], 2))
+    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(values, proj.means2d,
+                                                proj.conics, opa, abs_sink)
+    return g[:4], g[4]
+
+
+def test_pallas_grads_match_xla_autodiff():
+    cam, g, proj, opa, values, binning, (h, w) = setup(seed=12)
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
+
+    import functools
+    pallas_fn = functools.partial(blend_tiles_pallas, interpret=True)
+    gx, _ = _grads(blend_tiles_xla, values, proj, opa, binning, h, w, target)
+    gp, abs_grad = _grads(pallas_fn, values, proj, opa, binning, h, w, target)
+
+    names = ["values", "means2d", "conics", "opacities"]
+    for name, a, b in zip(names, gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-10
+        np.testing.assert_allclose(a, b, atol=5e-5 * scale, rtol=5e-3,
+                                   err_msg=name)
+
+    # AbsGS channel: >= |signed| componentwise, > 0 where signed is nonzero.
+    abs_grad = np.asarray(abs_grad)
+    signed = np.asarray(gp[1])
+    assert (abs_grad >= np.abs(signed) - 1e-6).all()
+    assert abs_grad.sum() > np.abs(signed).sum()  # cancellation happened
+
+
+def test_pallas_empty_tiles_clean():
+    # A tiny cluster leaves most tiles empty: their pixels must be bg (T=1).
+    cam, g, proj, opa, values, binning, (h, w) = setup(n=4, capacity=8,
+                                                       w=64, h=64)
+    out_p = blend_tiles_pallas(values, proj.means2d, proj.conics, opa, binning,
+                               h, w, 16, CHUNK, interpret=True)
+    out_x = blend_tiles_xla(values, proj.means2d, proj.conics, opa, binning,
+                            h, w, 16, CHUNK)
+    np.testing.assert_allclose(np.asarray(out_p.final_T),
+                               np.asarray(out_x.final_T), atol=1e-6)
+    assert np.isfinite(np.asarray(out_p.image)).all()
