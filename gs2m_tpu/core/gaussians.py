@@ -177,6 +177,38 @@ class Gaussians:
             max_sh_degree=max_sh_degree,
         )
 
+    @staticmethod
+    def from_raw(raw: dict, max_sh_degree: int,
+                 capacity: int | None = None) -> "Gaussians":
+        """Build from raw (pre-activation) numpy arrays, e.g. a loaded PLY
+        snapshot (data/ply.py load_gaussian_ply), padded to `capacity`."""
+        n = raw["xyz"].shape[0]
+        cap = capacity or n
+        if cap < n:
+            raise ValueError(f"capacity {cap} < {n}")
+
+        def pad(a):
+            out = np.zeros((cap,) + a.shape[1:], np.float32)
+            out[:n] = a
+            return jnp.asarray(out)
+
+        rot = np.zeros((cap, 4), np.float32)
+        rot[:, 0] = 1.0
+        rot[:n] = raw["rotation"]
+        alive = np.zeros((cap,), bool)
+        alive[:n] = True
+        opacity = np.full((cap, 1), -12.0, np.float32)
+        opacity[:n] = raw["opacity"]
+        scaling = np.full((cap, 3), -10.0, np.float32)
+        scaling[:n] = raw["scaling"]
+        return Gaussians(
+            xyz=pad(raw["xyz"]), features_dc=pad(raw["f_dc"]),
+            features_rest=pad(raw["f_rest"]), scaling=jnp.asarray(scaling),
+            rotation=jnp.asarray(rot), opacity=jnp.asarray(opacity),
+            albedo=pad(raw["albedo"]), roughness=pad(raw["roughness"]),
+            metallic=pad(raw["metallic"]), alive=jnp.asarray(alive),
+            max_sh_degree=max_sh_degree)
+
     def params_dict(self) -> dict:
         """The optimizable leaves, keyed like the reference's param groups
         (gaussian_model.py:230-240)."""
