@@ -65,6 +65,9 @@ def main(argv=None):
         from gs2m_tpu.pbr import make_pbr_fns
         pbr_fns = make_pbr_fns()
 
+    from gs2m_tpu.train.reporting import TrainingReporter, evaluate_views
+    reporter = TrainingReporter(model_cfg.model_path, enable=not args.quiet)
+
     trainer = Trainer(model_cfg, pipe, opt, scene, pbr_fns=pbr_fns)
     if args.start_checkpoint:
         trainer.load_checkpoint(args.start_checkpoint)
@@ -93,6 +96,18 @@ def main(argv=None):
                 "iteration": it, "loss": ema, "points": alive,
                 "elapsed_s": dt, "dropped": int(metrics["dropped"])}) + "\n")
             log_file.flush()
+            reporter.scalars(it, {k: float(v) for k, v in metrics.items()},
+                             alive, iter_time_ms=1e3 * dt / it)
+
+        if it in args.test_iterations:
+            res = evaluate_views(trainer, scene.train_cameras[:5],
+                                 scene.gt_images[:5], n_views=5,
+                                 log_images_to=reporter, iteration=it,
+                                 tag="train")
+            print(f"[ITER {it:>6}] train PSNR {res['psnr']:.2f}")
+            reporter.histogram(it, "scene/opacity_histogram",
+                               jax.nn.sigmoid(trainer.gaussians.opacity[
+                                   trainer.gaussians.alive]))
 
         if it in save_iterations:
             print(f"[ITER {it:>6}] Saving snapshot")
@@ -106,6 +121,7 @@ def main(argv=None):
         json.dump({"minutes": wall_min, "iterations": opt.iterations}, f)
     print(f"[>] Training complete in {wall_min:.1f} min")
     log_file.close()
+    reporter.close()
 
 
 if __name__ == "__main__":

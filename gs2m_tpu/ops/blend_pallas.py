@@ -61,13 +61,15 @@ def _pixel_coords(t, tile: int, grid_x: int, P: int):
 
 
 def _chunk_alpha_kernel(g8, px, py, width: int, height: int):
-    """Gated alpha (chunk, P) from transposed geometry block (8, chunk)."""
-    mx = g8[0:1, :].T     # (chunk, 1)
-    my = g8[1:2, :].T
-    ca = g8[2:3, :].T
-    cb = g8[3:4, :].T
-    cc = g8[4:5, :].T
-    op = g8[5:6, :].T
+    """Gated alpha (chunk, P) from the geometry block transposed to
+    (chunk, 8) — one relayout, then free (chunk, 1) column slices."""
+    gt = g8.T             # (chunk, 8)
+    mx = gt[:, 0:1]       # (chunk, 1)
+    my = gt[:, 1:2]
+    ca = gt[:, 2:3]
+    cb = gt[:, 3:4]
+    cc = gt[:, 4:5]
+    op = gt[:, 5:6]
     dx = mx - px          # (chunk, P)
     dy = my - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -77,16 +79,18 @@ def _chunk_alpha_kernel(g8, px, py, width: int, height: int):
     return jnp.where(gate, alpha, 0.0), dx, dy, power
 
 
+def _tril_ones(n: int) -> jnp.ndarray:
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r >= c).astype(jnp.float32)
+
+
 def _cumsum0(x):
-    """Inclusive prefix sum along the sublane axis (log-step roll+add;
-    Mosaic has no native cumsum lowering)."""
-    n = x.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    shift = 1
-    while shift < n:
-        x = x + jnp.where(row >= shift, pltpu.roll(x, shift=shift, axis=0), 0.0)
-        shift *= 2
-    return x
+    """Inclusive prefix sum along the sublane axis as ONE MXU matmul with a
+    lower-triangular ones matrix (Mosaic has no native cumsum; log-step
+    rolls cost ~16 VPU passes — the 256^3 f32 matmul is far cheaper)."""
+    return jnp.dot(_tril_ones(x.shape[0]), x,
+                   preferred_element_type=jnp.float32)
 
 
 def _compose(alpha, logT0, done0):
@@ -96,8 +100,9 @@ def _compose(alpha, logT0, done0):
     log1m = jnp.log1p(-alpha)
     cum = _cumsum0(log1m)
     test_logT = logT0 + cum
-    crossed = (test_logT < LOG_EPS).astype(jnp.float32)
-    done = (done0 + _cumsum0(crossed)) > 0.0
+    # log1m <= 0 makes test_logT monotone non-increasing within the chunk,
+    # so the crossing flag is already cumulative.
+    done = (done0 > 0.0) | (test_logT < LOG_EPS)
     contribute = (alpha > 0.0) & ~done
     logT_excl = test_logT - log1m
     w = jnp.where(contribute, alpha * jnp.exp(logT_excl), 0.0)

@@ -62,8 +62,9 @@ def _chunk_blend(alpha, carry_logT, carry_done):
     log1m = jnp.log1p(-alpha)
     cum = jnp.cumsum(log1m, axis=0)
     test_logT = carry_logT[None, :] + cum                 # inclusive: T after j
-    crossed = test_logT < LOG_EPS
-    done = carry_done[None, :] | (jnp.cumsum(crossed.astype(jnp.int32), axis=0) > 0)
+    # log1m <= 0 makes test_logT monotone non-increasing, so the crossing
+    # flag is already cumulative — no prefix-max needed.
+    done = carry_done[None, :] | (test_logT < LOG_EPS)
     contribute = (alpha > 0.0) & ~done
     logT_excl = carry_logT[None, :] + cum - log1m         # T before j
     w = jnp.where(contribute, alpha * jnp.exp(logT_excl), 0.0)
