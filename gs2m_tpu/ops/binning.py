@@ -52,6 +52,8 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
                   instance_cap: int, chunk: int) -> Binning:
     """Build the chunk-aligned instance layout from projected Gaussians."""
     assert instance_cap % chunk == 0
+    # Slot arithmetic runs in f32 for speed; exact only below 2^24.
+    assert instance_cap <= 2 ** 24, "instance_cap above f32-exact integer range"
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
     I = instance_cap
@@ -62,29 +64,53 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     total = offsets[-1] + tt[-1]
     dropped_expand = jnp.maximum(total - I, 0)
 
+    def boundary_lookup(starts, size):
+        """last index j with starts[j] <= slot, for every slot in [0, size).
+        Equivalent to searchsorted(starts, slots, 'right') - 1, computed as
+        scatter-ones + cumsum (XLA's searchsorted lowering is ~50x slower on
+        TPU for millions of queries)."""
+        marks = jnp.zeros((size,), jnp.int32).at[starts].add(1, mode="drop")
+        return jnp.cumsum(marks) - 1
+
     # --- expansion: slot -> (gaussian, tile) ---------------------------------
+    # Performance shape (TPU): one PACKED row gather instead of per-column
+    # gathers; optimization_barrier stops XLA from fusing the boundary
+    # cumsum into every consumer (measured 10x on the expansion); tile
+    # rect division in f32 (exact for the small integer ranges involved).
     slots = jnp.arange(I, dtype=jnp.int32)
-    # g = last index with offsets[g] <= slot  (searchsorted right - 1)
-    g = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, C - 1)
+    g = jnp.clip(boundary_lookup(offsets, I), 0, C - 1)
+    g = jax.lax.optimization_barrier(g)
     live = slots < total
-    j = slots - offsets[g]
-    rect_w = proj.rect_max[g, 0] - proj.rect_min[g, 0]
-    ty = proj.rect_min[g, 1] + j // jnp.maximum(rect_w, 1)
-    tx = proj.rect_min[g, 0] + j % jnp.maximum(rect_w, 1)
+
+    table = jnp.stack([
+        proj.rect_min[:, 0].astype(jnp.float32),
+        proj.rect_min[:, 1].astype(jnp.float32),
+        jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1).astype(jnp.float32),
+        proj.depths,
+        offsets.astype(jnp.float32),
+    ], axis=-1)                                   # (C, 5)
+    rows = jax.lax.optimization_barrier(table[g])  # (I, 5) one gather
+    j = slots.astype(jnp.float32) - rows[:, 4]
+    q = jnp.floor(j / rows[:, 2])
+    tx = rows[:, 0] + (j - q * rows[:, 2])
+    ty = rows[:, 1] + q
     tile_id = jnp.where(live, ty * grid_x + tx, T).astype(jnp.int32)
-    depth = jnp.where(live, proj.depths[g], jnp.inf)
+    depth = jnp.where(live, rows[:, 3], jnp.inf)
 
     # --- lexicographic sort by (tile, depth, slot) ---------------------------
-    tile_sorted, _, gid_sorted, live_sorted = jax.lax.sort(
-        (tile_id, depth, g, live.astype(jnp.int32)), num_keys=2, is_stable=True)
-    live_sorted = live_sorted.astype(bool)
+    # The liveness flag rides in a high bit of the gid payload: one fewer
+    # sort operand and one fewer (slow, byte-layout) bool gather later.
+    DEAD_BIT = 1 << 30
+    packed = jnp.where(live, g, g | DEAD_BIT)
+    tile_sorted, _, packed_sorted = jax.lax.sort(
+        (tile_id, depth, packed), num_keys=2, is_stable=True)
 
-    # --- per-tile ranges ------------------------------------------------------
-    tids = jnp.arange(T, dtype=jnp.int32)
-    start = jnp.searchsorted(tile_sorted, tids, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(tile_sorted, tids, side="right").astype(jnp.int32)
-    counts = end - start  # (T,)
+    # --- per-tile ranges: first-occurrence scatter-min + reverse cummin
+    # (searchsorted's dependent-gather chains are ~40x slower on TPU) ----------
+    first = jnp.full((T + 1,), I, jnp.int32).at[tile_sorted].min(slots)
+    start_fill = jax.lax.cummin(first[::-1])[::-1]  # missing tiles -> next start
+    start = start_fill[:T]
+    counts = (start_fill[1:] - start).astype(jnp.int32)
 
     # --- chunk alignment ------------------------------------------------------
     aligned = ((counts + chunk - 1) // chunk) * chunk
@@ -92,21 +118,23 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     atotal = astart[-1] + aligned[-1]
     dropped_align = jnp.maximum(atotal - I, 0)
 
-    # aligned slot -> tile via searchsorted over astart
-    t_of = jnp.searchsorted(astart, slots, side="right").astype(jnp.int32) - 1
-    t_of = jnp.clip(t_of, 0, T - 1)
-    k = slots - astart[t_of]
-    in_tile = (slots < atotal) & (k < counts[t_of])
-    src = jnp.clip(start[t_of] + k, 0, I - 1)
-    gid = jnp.where(in_tile, gid_sorted[src], 0)
+    # aligned slot -> tile (scatter+cumsum; duplicate starts of empty tiles
+    # accumulate so the cumsum still yields the LAST tile with astart <= slot)
+    t_of = jnp.clip(boundary_lookup(astart, I), 0, T - 1)
+    t_of = jax.lax.optimization_barrier(t_of)
+    tile_table = jnp.stack([astart, counts, start], axis=-1)  # (T, 3)
+    trows = jax.lax.optimization_barrier(tile_table[t_of])    # (I, 3)
+    k = slots - trows[:, 0]
+    in_tile = (slots < atotal) & (k < trows[:, 1])
+    src = jax.lax.optimization_barrier(jnp.clip(trows[:, 2] + k, 0, I - 1))
+    pk = packed_sorted[src]
+    gid = jnp.where(in_tile, pk & (DEAD_BIT - 1), 0)
     # Null also where source slot was dead (expansion overflow tail).
-    is_null = ~in_tile | ~live_sorted[jnp.clip(src, 0, I - 1)]
+    is_null = ~in_tile | ((pk & DEAD_BIT) != 0)
 
-    # chunk -> tile id (dummy tile T for tail chunks)
+    # chunk -> tile id (dummy tile T for tail chunks); reuse t_of.
     chunk_starts = jnp.arange(I // chunk, dtype=jnp.int32) * chunk
-    ct = jnp.searchsorted(astart, chunk_starts, side="right").astype(jnp.int32) - 1
-    ct = jnp.clip(ct, 0, T - 1)
-    chunk_tile = jnp.where(chunk_starts < atotal, ct, T)
+    chunk_tile = jnp.where(chunk_starts < atotal, t_of[chunk_starts], T)
 
     # A tile only renders if at least one chunk actually carries it (overflow
     # can cut a nonempty tile's chunks entirely; it then composites as pure

@@ -321,13 +321,17 @@ def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
 # =============================================================================
 
 def _gather_instances(values, means2d, conics, opacities, gid, is_null):
-    """Per-instance transposed tables: geom (8, I), vals (16, I)."""
-    op = jnp.where(is_null, 0.0, opacities[gid])
-    zeros = jnp.zeros_like(op)
-    geom_t = jnp.stack([means2d[gid, 0], means2d[gid, 1], conics[gid, 0],
-                        conics[gid, 1], conics[gid, 2], op, zeros, zeros], 0)
-    vals_t = values[gid].T
-    return geom_t, vals_t
+    """Per-instance transposed tables: geom (8, I), vals (16, I). ONE row
+    gather each (scalar-column gathers are ~10x slower on TPU), then
+    transpose to the lane-major kernel layout."""
+    C = values.shape[0]
+    geom_src = jnp.concatenate(
+        [means2d, conics, opacities[:, None], jnp.zeros((C, 2), values.dtype)],
+        axis=-1)                                   # (C, 8)
+    # Null slots zero the whole row: opacity 0 gates them out of the blend.
+    geom_rows = jnp.where(is_null[:, None], 0.0, geom_src[gid])  # (I, 8)
+    vals_t = values[gid].T                         # one gather + transpose
+    return geom_rows.T, vals_t
 
 
 def _untile(img_tiles, fT_tiles, tile_nonempty, grid_y, grid_x, tile):
@@ -412,16 +416,15 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
     safe_gid = jnp.where(live, gid, 0)
 
     C = values.shape[0]
-    d_values = jnp.zeros_like(values).at[safe_gid].add(
-        dvals.T * livef[:, None])
-    dg = dgeom * livef[None, :]
-    d_means2d = jnp.zeros_like(means2d).at[safe_gid].add(
-        jnp.stack([dg[0], dg[1]], -1))
-    d_conics = jnp.zeros_like(conics).at[safe_gid].add(
-        jnp.stack([dg[2], dg[3], dg[4]], -1))
-    d_opac = jnp.zeros_like(opacities).at[safe_gid].add(dg[5])
-    d_abs = jnp.zeros((C, 2), jnp.float32).at[safe_gid].add(
-        jnp.stack([dg[6], dg[7]], -1))
+    # ONE fused (I, 24) row scatter-add — five separate per-field scatters
+    # are far slower on TPU.
+    per_inst = jnp.concatenate([dvals.T, dgeom.T], axis=-1) * livef[:, None]
+    acc = jnp.zeros((C, 24), jnp.float32).at[safe_gid].add(per_inst)
+    d_values = acc[:, 0:16]
+    d_means2d = acc[:, 16:18]
+    d_conics = acc[:, 18:21]
+    d_opac = acc[:, 21]
+    d_abs = acc[:, 22:24]
 
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return (d_values, d_means2d, d_conics, d_opac, d_abs,
