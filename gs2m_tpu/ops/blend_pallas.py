@@ -202,18 +202,20 @@ def _run_forward(geom_t, vals_t, chunk_tile, *, T: int, n_chunks: int,
 # Backward kernel (reverse chunk sweep)
 # =============================================================================
 
-def _bwd_kernel(chunk_tile_ref, rev_ref,    # scalar prefetch
+def _bwd_kernel(chunk_tile_ref,             # scalar prefetch: REVERSED tiles
                 geom_ref, vals_ref, clogT_ref, cdone_ref,
                 g_img_ref, gT_ref, fT_ref,
                 dgeom_ref, dvals_ref,       # outputs (8, chunk), (16, chunk)
                 S_s,                        # scratch (1, P): suffix accumulator
                 *, tile: int, grid_x: int, width: int, height: int, P: int):
-    r = pl.program_id(0)
-    i = rev_ref[r]                           # actual chunk index (reverse order)
+    # All chunk-major arrays are pre-reversed on the XLA side, so this sweep
+    # walks back-to-front with PLAIN grid indexing (a double scalar-prefetch
+    # indirection ct[rv[r]] in index maps aborts Mosaic at larger grids).
+    i = pl.program_id(0)
     t = chunk_tile_ref[i]
-    nxt = chunk_tile_ref[jnp.minimum(i + 1, chunk_tile_ref.shape[0] - 1)]
-    # Backward enters a tile at its LAST chunk.
-    last_of_tile = jnp.logical_or(i == chunk_tile_ref.shape[0] - 1, t != nxt)
+    prev_t = chunk_tile_ref[jnp.maximum(i - 1, 0)]
+    # In reversed order, a tile is ENTERED at its (original) last chunk.
+    last_of_tile = jnp.logical_or(i == 0, t != prev_t)
 
     @pl.when(last_of_tile)
     def _():
@@ -277,43 +279,57 @@ def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
                   T: int, n_chunks: int, chunk: int, tile: int, grid_x: int,
                   width: int, height: int, interpret: bool):
     P = tile * tile
-    rev = jnp.arange(n_chunks - 1, -1, -1, dtype=jnp.int32)
+    I = n_chunks * chunk
+
+    # Reverse at CHUNK granularity on the XLA side (cheap bandwidth passes).
+    def flip_chunks(x):
+        lead = x.shape[0]
+        return x.reshape(lead, n_chunks, chunk)[:, ::-1].reshape(lead, I)
+
+    geom_r = flip_chunks(geom_t)
+    vals_r = flip_chunks(vals_t)
+    clogT_r = clogT[::-1]
+    cdone_r = cdone[::-1]
+    ct_r = chunk_tile[::-1]
+
     kernel = functools.partial(_bwd_kernel, tile=tile, grid_x=grid_x,
                                width=width, height=height, P=P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((8, chunk), lambda r, ct, rv: (0, rv[r]),
+            pl.BlockSpec((8, chunk), lambda i, ct: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, chunk), lambda r, ct, rv: (0, rv[r]),
+            pl.BlockSpec((16, chunk), lambda i, ct: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda r, ct, rv: (rv[r], 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda r, ct, rv: (rv[r], 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, P), lambda r, ct, rv: (ct[rv[r]], 0, 0),
+            pl.BlockSpec((1, 16, P), lambda i, ct: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda r, ct, rv: (ct[rv[r]], 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda r, ct, rv: (ct[rv[r]], 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, chunk), lambda r, ct, rv: (0, rv[r]),
+            pl.BlockSpec((8, chunk), lambda i, ct: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, chunk), lambda r, ct, rv: (0, rv[r]),
+            pl.BlockSpec((16, chunk), lambda i, ct: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((8, n_chunks * chunk), jnp.float32),
-        jax.ShapeDtypeStruct((16, n_chunks * chunk), jnp.float32),
+        jax.ShapeDtypeStruct((8, I), jnp.float32),
+        jax.ShapeDtypeStruct((16, I), jnp.float32),
     ]
-    return pl.pallas_call(kernel, grid_spec=grid_spec, out_shape=out_shape,
-                          interpret=interpret)(
-        chunk_tile, rev, geom_t, vals_t, clogT, cdone, g_img, gT, fT)
+    dgeom_r, dvals_r = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret)(ct_r, geom_r, vals_r, clogT_r, cdone_r,
+                             g_img, gT, fT)
+    return flip_chunks(dgeom_r), flip_chunks(dvals_r)
 
 
 # =============================================================================
