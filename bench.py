@@ -79,11 +79,11 @@ def run_bench(n_gaussians=500_000, width=1600, height=1200, iters=20,
     dropped = int(binning.dropped)
 
     grads = step(params)
-    jax.block_until_ready(grads)
-    t0 = time.perf_counter()
+    float(grads["xyz"][0, 0])  # full sync (block_until_ready can be lazy
+    t0 = time.perf_counter()   # through remote-execution tunnels)
     for _ in range(iters):
         grads = step(params)
-    jax.block_until_ready(grads)
+    float(grads["xyz"][0, 0])  # device executes serially: syncs the chain
     dt = (time.perf_counter() - t0) / iters
     mpix = width * height / dt / 1e6
     return {"mpixels_per_s": mpix, "step_ms": dt * 1e3,

@@ -429,13 +429,28 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
 
     live = ~is_null
     livef = live.astype(jnp.float32)
-    safe_gid = jnp.where(live, gid, 0)
-
     C = values.shape[0]
-    # ONE fused (I, 24) row scatter-add — five separate per-field scatters
-    # are far slower on TPU.
+
+    # Per-Gaussian segmented reduction WITHOUT multi-channel scatters (row
+    # scatters serialize catastrophically on TPU — measured seconds for
+    # (I, 24); sorts/gathers/cumsums are bandwidth-bound):
+    #   sort instance ids by gid, gather the 24-channel grad rows into
+    #   gid-contiguous order, prefix-sum, and difference at per-Gaussian
+    #   segment ends (ends from a cheap 1-channel bincount).
     per_inst = jnp.concatenate([dvals.T, dgeom.T], axis=-1) * livef[:, None]
-    acc = jnp.zeros((C, 24), jnp.float32).at[safe_gid].add(per_inst)
+    key = jnp.where(live, gid, C)  # dead slots sort to a trailing bucket
+    I_ = gid.shape[0]
+    _, order = jax.lax.sort((key, jnp.arange(I_, dtype=jnp.int32)),
+                            num_keys=1, is_stable=False)
+    cs = jnp.cumsum(per_inst[order], axis=0)
+    counts = jnp.bincount(key, length=C + 1)[:C]
+    ends = jnp.cumsum(counts) - 1  # inclusive end per gaussian; -1 if empty
+    seg = cs[jnp.clip(ends, 0, I_ - 1)]
+    prev_end = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ends[:-1]])
+    prev = jnp.where((prev_end >= 0)[:, None],
+                     cs[jnp.clip(prev_end, 0, I_ - 1)], 0.0)
+    acc = jnp.where((counts > 0)[:, None], seg - prev, 0.0)
+
     d_values = acc[:, 0:16]
     d_means2d = acc[:, 16:18]
     d_conics = acc[:, 18:21]
