@@ -13,4 +13,12 @@ scale-out is jax.sharding over a device mesh (tiles sharded, Gaussians
 replicated, per-Gaussian grads psum-reduced).
 """
 
+import jax as _jax
+
+# TPU lowers f32 matmuls/convs to bf16 by default; covariance projection,
+# SSIM blurs, and the PBR prefilter matmuls all need true f32 (bf16 SSIM is
+# numerically unbounded). The Pallas kernels set their own
+# preferred_element_type and are unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"

@@ -79,7 +79,8 @@ class Gaussians:
 
     @property
     def get_rotation(self) -> jnp.ndarray:
-        return self.rotation / (jnp.linalg.norm(self.rotation, axis=-1, keepdims=True) + 1e-12)
+        q = self.rotation
+        return q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-20)
 
     @property
     def get_opacity(self) -> jnp.ndarray:
@@ -123,7 +124,8 @@ class Gaussians:
         view_dirs = cam_center[None, :] - self.xyz
         flip = jnp.sum(normals * view_dirs, axis=-1, keepdims=True) < 0.0
         normals = jnp.where(flip, -normals, normals)
-        return normals / (jnp.linalg.norm(normals, axis=-1, keepdims=True) + 1e-12)
+        return normals / jnp.sqrt(jnp.sum(normals * normals, axis=-1,
+                                          keepdims=True) + 1e-20)
 
     # --- construction --------------------------------------------------------
 

@@ -22,6 +22,19 @@ from gs2m_tpu.ops.grid_sample import sample_pixels
 from gs2m_tpu.ops.ssim import fused_ssim
 
 
+def _safe_norm(x, axis=-1, eps=1e-12, keepdims=False):
+    """sqrt(sum(x^2) + eps): finite gradient at x == 0 (jnp.linalg.norm's
+    vjp is NaN at zero, which poisons masked lanes via 0 * inf)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
+def _safe_div_z(z, threshold=1e-4):
+    """Clamp a divisor away from 0 (sign-preserving). Rows with tiny |z| are
+    always masked invalid by the callers; this keeps their vjp finite."""
+    return jnp.where(jnp.abs(z) < threshold, jnp.where(z < 0, -threshold,
+                                                       threshold), z)
+
+
 # --- basic photometric (loss_utils.py:24-28) --------------------------------
 
 def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
@@ -110,25 +123,27 @@ def sample_depth_normal(cam_points: jnp.ndarray, cam, depth_map: jnp.ndarray,
     """Project (N,3) neighbor-cam-space points; bilinearly sample the neighbor's
     depth/normal maps (loss_utils.py:366-414). Returns (map_z, map_n, valid)."""
     W, H = cam.width, cam.height
-    z = cam_points[:, 2]
+    z = _safe_div_z(cam_points[:, 2])
     proj = jnp.stack([cam_points[:, 0] * cam.fx / z + cam.cx,
                       cam_points[:, 1] * cam.fy / z + cam.cy], axis=-1)
+    z = cam_points[:, 2]
     valid = ((proj[:, 0] > 0) & (proj[:, 0] < W) & (proj[:, 1] > 0)
              & (proj[:, 1] < H) & (z > 0.1))
     map_z = sample_pixels(depth_map, proj)[:, 0]
     map_n = sample_pixels(normal_map, proj)
-    map_n = map_n / (jnp.linalg.norm(map_n, axis=-1, keepdims=True) + 1e-8)
+    map_n = map_n / _safe_norm(map_n, keepdims=True, eps=1e-12)
     return map_z, map_n, valid, proj
 
 
 def reproject_points(from_cam, to_cam, points: jnp.ndarray, sampled_depth: jnp.ndarray):
     """(N,3) from_cam view points + sampled depth -> pixel coords in to_cam
     (loss_utils.py:416-430)."""
-    pts = points / points[:, 2:3] * sampled_depth[:, None]
+    pts = points / _safe_div_z(points[:, 2:3]) * sampled_depth[:, None]
     pts_world = from_cam.cam_to_world(pts)
     p = to_cam.world_to_cam(pts_world)
-    return jnp.stack([p[:, 0] * to_cam.fx / p[:, 2] + to_cam.cx,
-                      p[:, 1] * to_cam.fy / p[:, 2] + to_cam.cy], axis=-1)
+    pz = _safe_div_z(p[:, 2])
+    return jnp.stack([p[:, 0] * to_cam.fx / pz + to_cam.cx,
+                      p[:, 1] * to_cam.fy / pz + to_cam.cy], axis=-1)
 
 
 def _patch_offsets(half: int) -> jnp.ndarray:
@@ -142,7 +157,7 @@ def _patch_warp(Hmat: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     ones = jnp.ones_like(uv[..., :1])
     homo = jnp.concatenate([uv, ones], axis=-1)  # (N, P, 3)
     out = jnp.einsum("nik,npk->npi", Hmat, homo)
-    return out[..., :2] / (out[..., 2:] + 1e-10)
+    return out[..., :2] / _safe_div_z(out[..., 2:], 1e-6)
 
 
 def _ncc(ref: jnp.ndarray, nea: jnp.ndarray, std_mask: bool = False):
@@ -212,10 +227,10 @@ def multi_view_loss(cfg, cam, nearest_cam, render_pkg: dict, nearest_pkg: dict,
     valid = valid & (pts_in_nearest[:, 2] - map_z <= cfg.mv_occlusion_threshold)
 
     re_proj = reproject_points(nearest_cam, cam, pts_in_nearest, map_z)
-    pixel_noise = jnp.linalg.norm(re_proj - pixels.reshape(-1, 2), axis=-1)
+    pixel_noise = _safe_norm(re_proj - pixels.reshape(-1, 2), axis=-1)
 
     normals = sample_pixels(render_pkg["normal_map"], pixels.reshape(-1, 2))
-    normals = normals / (jnp.linalg.norm(normals, axis=-1, keepdims=True) + 1e-8)
+    normals = normals / _safe_norm(normals, keepdims=True, eps=1e-12)
     cos_sim = jnp.sum(normals * map_n, axis=1)
     angle_err = jnp.arccos(jnp.clip(cos_sim, -1 + 1e-6, 1 - 1e-6))
     angle_thresh = cfg.mv_angle_threshold * jnp.pi / 180.0
@@ -258,8 +273,8 @@ def multi_view_loss(cfg, cam, nearest_cam, render_pkg: dict, nearest_pkg: dict,
 
     local_n = render_pkg["local_normal_map"].transpose(1, 2, 0).reshape(-1, 3)[idx]
     local_d = render_pkg["distance_map"][0].reshape(-1)[idx]
-    H_rn = rn_R[None] - (rn_t[None, :, None] @ local_n[:, None, :]) / (
-        local_d[:, None, None] + 1e-10)
+    H_rn = rn_R[None] - (rn_t[None, :, None] @ local_n[:, None, :]) / \
+        _safe_div_z(local_d[:, None, None], 1e-6)
     H_rn = nearest_cam.get_K(ncc_scale)[None] @ H_rn @ cam.get_inv_K(ncc_scale)[None]
 
     grid = _patch_warp(H_rn, patch_pix)
@@ -305,8 +320,8 @@ def roughness_loss(cfg, cam, nearby_cam, render_pkg: dict, nearby_pkg: dict,
     rn_t = -rn_R @ cam.world_view[3, :3] + nearby_cam.world_view[3, :3]
     local_n = sg(render_pkg["local_normal_map"]).transpose(1, 2, 0).reshape(-1, 3)[idx]
     local_d = sg(render_pkg["distance_map"])[0].reshape(-1)[idx]
-    H_rn = rn_R[None] - (rn_t[None, :, None] @ local_n[:, None, :]) / (
-        local_d[:, None, None] + 1e-10)
+    H_rn = rn_R[None] - (rn_t[None, :, None] @ local_n[:, None, :]) / \
+        _safe_div_z(local_d[:, None, None], 1e-6)
     H_rn = nearby_cam.get_K(ncc_scale)[None] @ H_rn @ cam.get_inv_K(ncc_scale)[None]
     grid = _patch_warp(H_rn, patch_pix)
     nea_gray = sample_pixels(gray_nea, grid)[..., 0]

@@ -39,7 +39,9 @@ def points_to_normals(pts: jnp.ndarray) -> jnp.ndarray:
     right = pts[1:H - 1, 2:W]
     left = pts[1:H - 1, 0:W - 2]
     n = jnp.cross(right - left, top - bottom)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    # eps INSIDE the sqrt: jnp.linalg.norm's vjp is NaN at exactly zero
+    # (flat/background regions), poisoning masked lanes via 0 * inf.
+    n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-20)
     return jnp.pad(n, ((1, 1), (1, 1), (0, 0)))
 
 

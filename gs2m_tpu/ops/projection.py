@@ -51,11 +51,16 @@ def compute_cov2d(xyz: jnp.ndarray, cov3d: jnp.ndarray, camera: Camera) -> jnp.n
 
     cov2d = J @ Rw2c @ Sigma @ Rw2c^T @ J^T with the frustum-clamped Jacobian.
     Returns (C, 3): (cov_xx, cov_xy, cov_yy).
+
+    NaN-safety: rows behind the near plane are culled downstream, but their
+    values still flow through this math under autodiff — 1/tz at tz ~ 0
+    creates Inf whose vjp turns ZERO cotangents into NaN (0 * inf). Clamp tz
+    away from 0 for the culled rows (their outputs are masked anyway).
     """
     t = xyz @ camera.world_view[:3, :3] + camera.world_view[3, :3]  # view space
     limx = 1.3 * camera.tanfovx
     limy = 1.3 * camera.tanfovy
-    tz = t[:, 2]
+    tz = jnp.where(t[:, 2] > 0.2, t[:, 2], 1.0)  # near cull happens downstream
     tx = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
     ty = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
 
@@ -96,10 +101,12 @@ def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
     # View/clip transforms (row-vector convention).
     p_view = xyz @ camera.world_view[:3, :3] + camera.world_view[3, :3]
     p_hom = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], axis=-1) @ camera.full_proj
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]
-
     in_front = p_view[:, 2] > 0.2  # near cull (auxiliary.h:154)
+    # Culled rows get a safe homogeneous w: 1/(w + eps) at w ~ -eps is Inf
+    # and its vjp NaNs the zero cotangents of masked outputs (0 * inf).
+    w_safe = jnp.where(in_front, p_hom[:, 3], 1.0)
+    p_w = 1.0 / (w_safe + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
 
     cov3d = compute_cov3d(gaussians, scale_modifier)
     cov = compute_cov2d(xyz, cov3d, camera)
@@ -130,7 +137,7 @@ def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
 
     # SH -> RGB (forward.cu:227-232); view dirs from the unclamped positions.
     dirs = xyz - camera.cam_center[None, :]
-    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
     colors = shlib.sh_to_rgb(active_sh_degree, gaussians.get_features, dirs)
 
     # Sanitize culled slots so no inf/NaN leaks into the blend or its

@@ -40,10 +40,15 @@ def _blur(x: jnp.ndarray) -> jnp.ndarray:
     kw = w.reshape(1, 1, 1, 11)
     b, c, h, wd = x.shape
     xc = x.reshape(b * c, 1, h, wd)
+    # precision=HIGHEST: TPU's default bf16 conv makes blur(x^2) - mu^2 go
+    # negative past C2, blowing SSIM outside [-1, 1] and NaN-ing gradients.
+    hi = jax.lax.Precision.HIGHEST
     y = jax.lax.conv_general_dilated(xc, kh, (1, 1), [(5, 5), (0, 0)],
-                                     dimension_numbers=("NCHW", "OIHW", "NCHW"))
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                                     precision=hi)
     y = jax.lax.conv_general_dilated(y, kw, (1, 1), [(0, 0), (5, 5)],
-                                     dimension_numbers=("NCHW", "OIHW", "NCHW"))
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                                     precision=hi)
     return y.reshape(b, c, h, wd)
 
 

@@ -36,7 +36,10 @@ class TrainingReporter:
     def histogram(self, iteration: int, name: str, values: np.ndarray):
         if self.writer is None:
             return
-        self.writer.add_histogram(name, np.asarray(values), iteration)
+        v = np.asarray(values)
+        v = v[np.isfinite(v)]
+        if v.size:
+            self.writer.add_histogram(name, v, iteration)
 
     def image(self, iteration: int, name: str, img_chw: np.ndarray):
         if self.writer is None:

@@ -132,7 +132,9 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
                                     geometry_stage, material_stage, backend,
                                     pbr_fns)
 
-    @partial(jax.jit, static_argnames=("active_sh_degree",), donate_argnums=(0, 1, 2))
+    # NOTE: no donate_argnums — buffer donation through the axon remote
+    # runtime produced intermittent garbage (stale reads) in round-1 testing.
+    @partial(jax.jit, static_argnames=("active_sh_degree",))
     def step(gaussians: Gaussians, opt_state: AdamState, stats: D.DensifyStats,
              gt_images, alpha_masks, gray_images, light_state,
              view_idx, key, iteration, active_sh_degree: int):
