@@ -83,8 +83,11 @@ def main(argv=None):
     while trainer.iteration < opt.iterations:
         metrics = trainer.train_step()
         it = trainer.iteration
-        loss = float(metrics["loss"])
-        ema = loss if ema is None else 0.4 * loss + 0.6 * ema
+        # Metrics live on device; converting every step would add a host
+        # round-trip per iteration (expensive through remote runtimes).
+        if it % 100 == 0:
+            loss = float(metrics["loss"])
+            ema = loss if ema is None else 0.4 * loss + 0.6 * ema
 
         if it % 100 == 0 and not args.quiet:
             alive = int(trainer.gaussians.num_alive)

@@ -284,7 +284,7 @@ class Trainer:
                 self.opt.opacity_lr)
 
         # No silent caps: binning overflow doubles the instance buffer.
-        if it % 50 == 0 and int(metrics["dropped"]) > 0:
+        if it % 100 == 0 and int(metrics["dropped"]) > 0:
             self.instance_cap *= 2
             self._steps.clear()
             self._observe_counter = None
