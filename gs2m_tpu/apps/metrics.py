@@ -31,10 +31,12 @@ def evaluate_dir(method_dir: Path, device: str = "") -> dict:
     from gs2m_tpu.ops.ssim import fused_ssim
     from gs2m_tpu.utils.images import psnr
 
+    from gs2m_tpu.utils.lpips import lpips as lpips_fn
+
     render_dir = method_dir / "render"
     gt_dir = method_dir / "gt"
     names = sorted(p.name for p in render_dir.iterdir() if p.suffix == ".png")
-    psnrs, ssims = [], []
+    psnrs, ssims, lpipss = [], [], []
     for name in names:
         r = np.asarray(Image.open(render_dir / name), np.float32)[..., :3] / 255.0
         g = np.asarray(Image.open(gt_dir / name), np.float32)[..., :3] / 255.0
@@ -42,10 +44,15 @@ def evaluate_dir(method_dir: Path, device: str = "") -> dict:
         ssims.append(float(fused_ssim(
             jnp.asarray(r.transpose(2, 0, 1))[None],
             jnp.asarray(g.transpose(2, 0, 1))[None])))
+        try:
+            lpipss.append(float(lpips_fn(r.transpose(2, 0, 1),
+                                         g.transpose(2, 0, 1))))
+        except FileNotFoundError:
+            pass  # no pretrained weights available (recorded limitation)
     return {
         "PSNR": float(np.mean(psnrs)) if psnrs else None,
         "SSIM": float(np.mean(ssims)) if ssims else None,
-        "LPIPS": None,  # no pretrained feature nets in this environment
+        "LPIPS": float(np.mean(lpipss)) if lpipss else None,
         "per_view": {n: {"PSNR": p, "SSIM": s}
                      for n, p, s in zip(names, psnrs, ssims)},
     }
