@@ -41,6 +41,9 @@ class Binning(NamedTuple):
     tile_nonempty: jnp.ndarray  # (n_tiles,) bool — tiles with >= 1 instance
     num_instances: jnp.ndarray  # () int32 — true instance count (pre-alignment)
     dropped: jnp.ndarray      # () int32 — instances dropped by the capacity cap
+    expansion_id: jnp.ndarray  # (I,) int32 expansion slot per aligned slot; I = null
+    gauss_offset: jnp.ndarray  # (C,) int32 first expansion slot per Gaussian
+    gauss_live: jnp.ndarray    # (C,) int32 live (in-capacity) instances per Gaussian
 
 
 def num_tiles(height: int, width: int, tile: int) -> tuple[int, int]:
@@ -100,10 +103,13 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     # --- lexicographic sort by (tile, depth, slot) ---------------------------
     # The liveness flag rides in a high bit of the gid payload: one fewer
     # sort operand and one fewer (slow, byte-layout) bool gather later.
+    # Expansion slot ids travel as a payload so the blend backward can move
+    # per-instance grads back to expansion order (where per-Gaussian runs
+    # are contiguous) with gathers instead of multi-channel scatters.
     DEAD_BIT = 1 << 30
     packed = jnp.where(live, g, g | DEAD_BIT)
-    tile_sorted, _, packed_sorted = jax.lax.sort(
-        (tile_id, depth, packed), num_keys=2, is_stable=True)
+    tile_sorted, _, packed_sorted, eslot_sorted = jax.lax.sort(
+        (tile_id, depth, packed, slots), num_keys=2, is_stable=True)
 
     # --- per-tile ranges: first-occurrence scatter-min + reverse cummin
     # (searchsorted's dependent-gather chains are ~40x slower on TPU) ----------
@@ -127,10 +133,18 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     k = slots - trows[:, 0]
     in_tile = (slots < atotal) & (k < trows[:, 1])
     src = jax.lax.optimization_barrier(jnp.clip(trows[:, 2] + k, 0, I - 1))
-    pk = packed_sorted[src]
+    # One lane-major (2, I) gather instead of two 1-channel gathers.
+    pk2 = jnp.stack([packed_sorted, eslot_sorted], axis=0)[:, src]
+    pk = pk2[0]
     gid = jnp.where(in_tile, pk & (DEAD_BIT - 1), 0)
     # Null also where source slot was dead (expansion overflow tail).
     is_null = ~in_tile | ((pk & DEAD_BIT) != 0)
+    expansion_id = jnp.where(is_null, I, pk2[1]).astype(jnp.int32)
+
+    # Per-Gaussian expansion ranges (contiguous by construction): live count
+    # clips the tail lost to the expansion capacity.
+    gauss_offset = jnp.clip(offsets, 0, I).astype(jnp.int32)
+    gauss_live = jnp.clip(jnp.minimum(tt, I - offsets), 0, None).astype(jnp.int32)
 
     # chunk -> tile id (dummy tile T for tail chunks); reuse t_of.
     chunk_starts = jnp.arange(I // chunk, dtype=jnp.int32) * chunk
@@ -148,4 +162,7 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
         tile_nonempty=(counts > 0) & covered,
         num_instances=total.astype(jnp.int32),
         dropped=(dropped_expand + dropped_align).astype(jnp.int32),
+        expansion_id=expansion_id,
+        gauss_offset=gauss_offset,
+        gauss_live=gauss_live,
     )

@@ -341,13 +341,15 @@ def _gather_instances(values, means2d, conics, opacities, gid, is_null):
     gather each (scalar-column gathers are ~10x slower on TPU), then
     transpose to the lane-major kernel layout."""
     C = values.shape[0]
+    # LANE-MAJOR gathers: (K, C)[:, gid] is ~5x cheaper than (C, K)[gid] on
+    # TPU (row gathers move padded tiles per row).
     geom_src = jnp.concatenate(
         [means2d, conics, opacities[:, None], jnp.zeros((C, 2), values.dtype)],
-        axis=-1)                                   # (C, 8)
-    # Null slots zero the whole row: opacity 0 gates them out of the blend.
-    geom_rows = jnp.where(is_null[:, None], 0.0, geom_src[gid])  # (I, 8)
-    vals_t = values[gid].T                         # one gather + transpose
-    return geom_rows.T, vals_t
+        axis=-1).T                                 # (8, C)
+    # Null slots zero the whole column: opacity 0 gates them out of the blend.
+    geom_t = jnp.where(is_null[None, :], 0.0, geom_src[:, gid])  # (8, I)
+    vals_t = values.T[:, gid]                      # (16, I)
+    return geom_t, vals_t
 
 
 def _untile(img_tiles, fT_tiles, tile_nonempty, grid_y, grid_x, tile):
@@ -375,19 +377,22 @@ def _retile(g_img, g_fT, grid_y, grid_x, tile):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(9, 10, 11, 12, 13))
+                   nondiff_argnums=(12, 13, 14, 15, 16))
 def _blend_pallas_core(values, means2d, conics, opacities, abs_sink,
                        gid, is_null, chunk_tile, tile_nonempty,
+                       expansion_id, gauss_offset, gauss_live,
                        height: int, width: int, tile: int, chunk: int,
                        interpret: bool):
     out, _ = _blend_fwd(values, means2d, conics, opacities, abs_sink,
                         gid, is_null, chunk_tile, tile_nonempty,
+                        expansion_id, gauss_offset, gauss_live,
                         height, width, tile, chunk, interpret)
     return out
 
 
 def _blend_fwd(values, means2d, conics, opacities, abs_sink,
                gid, is_null, chunk_tile, tile_nonempty,
+               expansion_id, gauss_offset, gauss_live,
                height, width, tile, chunk, interpret):
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
@@ -407,14 +412,14 @@ def _blend_fwd(values, means2d, conics, opacities, abs_sink,
     observe = jnp.zeros((C,), jnp.int32).at[gid].add(
         jnp.where(is_null, 0, obs.reshape(-1)))
 
-    res = (values, means2d, conics, opacities, gid, is_null, chunk_tile,
-           geom_t, vals_t, clogT, cdone, fT_tiles)
+    res = (values, gid, is_null, chunk_tile, expansion_id, gauss_offset,
+           gauss_live, geom_t, vals_t, clogT, cdone, fT_tiles)
     return (img, fT, observe), res
 
 
 def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
-    (values, means2d, conics, opacities, gid, is_null, chunk_tile,
-     geom_t, vals_t, clogT, cdone, fT_tiles) = res
+    (values, gid, is_null, chunk_tile, expansion_id, gauss_offset,
+     gauss_live, geom_t, vals_t, clogT, cdone, fT_tiles) = res
     g_img, g_fT, _ = cts
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
@@ -427,39 +432,40 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
         fT_tiles, T=T, n_chunks=n_chunks, chunk=chunk, tile=tile,
         grid_x=grid_x, width=width, height=height, interpret=interpret)
 
-    live = ~is_null
-    livef = live.astype(jnp.float32)
+    livef = (~is_null).astype(jnp.float32)
     C = values.shape[0]
 
     # Per-Gaussian segmented reduction WITHOUT multi-channel scatters (row
-    # scatters serialize catastrophically on TPU — measured seconds for
-    # (I, 24); sorts/gathers/cumsums are bandwidth-bound):
-    #   sort instance ids by gid, gather the 24-channel grad rows into
-    #   gid-contiguous order, prefix-sum, and difference at per-Gaussian
-    #   segment ends (ends from a cheap 1-channel bincount).
-    per_inst = jnp.concatenate([dvals.T, dgeom.T], axis=-1) * livef[:, None]
-    key = jnp.where(live, gid, C)  # dead slots sort to a trailing bucket
-    I_ = gid.shape[0]
-    _, order = jax.lax.sort((key, jnp.arange(I_, dtype=jnp.int32)),
-                            num_keys=1, is_stable=False)
-    cs = jnp.cumsum(per_inst[order], axis=0)
-    counts = jnp.bincount(key, length=C + 1)[:C]
-    ends = jnp.cumsum(counts) - 1  # inclusive end per gaussian; -1 if empty
-    seg = cs[jnp.clip(ends, 0, I_ - 1)]
-    prev_end = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ends[:-1]])
-    prev = jnp.where((prev_end >= 0)[:, None],
-                     cs[jnp.clip(prev_end, 0, I_ - 1)], 0.0)
-    acc = jnp.where((counts > 0)[:, None], seg - prev, 0.0)
+    # scatters serialize catastrophically on TPU). Each Gaussian's instances
+    # occupy a CONTIGUOUS range in EXPANSION order (binning gauss_offset/
+    # gauss_live), so: invert the aligned->expansion permutation with one
+    # 1-channel int scatter, gather grads into expansion order, prefix-sum,
+    # and difference at the known range boundaries — no sort, no bincount.
+    # Lane-major throughout: (24, I) column gathers/cumsums are ~5x cheaper
+    # than (I, 24) row ops on TPU.
+    per_inst = jnp.concatenate([dvals, dgeom], axis=0) * livef[None, :]
+    inv = jnp.full((I + 1,), I, jnp.int32).at[expansion_id].set(
+        jnp.arange(I, dtype=jnp.int32), mode="drop")[:I]
+    per_inst_pad = jnp.concatenate(
+        [per_inst, jnp.zeros((24, 1), per_inst.dtype)], axis=1)
+    grads_exp = per_inst_pad[:, inv]             # (24, I) expansion order
+    cs = jnp.cumsum(grads_exp, axis=1)
+    end = jnp.clip(gauss_offset + gauss_live - 1, 0, I - 1)
+    seg = cs[:, end]                              # (24, C)
+    prev = jnp.where((gauss_offset > 0)[None, :],
+                     cs[:, jnp.clip(gauss_offset - 1, 0, I - 1)], 0.0)
+    acc = jnp.where((gauss_live > 0)[None, :], seg - prev, 0.0)
 
-    d_values = acc[:, 0:16]
-    d_means2d = acc[:, 16:18]
-    d_conics = acc[:, 18:21]
-    d_opac = acc[:, 21]
-    d_abs = acc[:, 22:24]
+    d_values = acc[0:16].T
+    d_means2d = acc[16:18].T
+    d_conics = acc[18:21].T
+    d_opac = acc[21]
+    d_abs = acc[22:24].T
 
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return (d_values, d_means2d, d_conics, d_opac, d_abs,
-            f0(gid), f0(is_null), f0(chunk_tile), f0(jnp.zeros(T, bool)))
+            f0(gid), f0(is_null), f0(chunk_tile), f0(jnp.zeros(T, bool)),
+            f0(expansion_id), f0(gauss_offset), f0(gauss_live))
 
 
 _blend_pallas_core.defvjp(_blend_fwd, _blend_bwd)
@@ -478,5 +484,6 @@ def blend_tiles_pallas(values, means2d, conics, opacities, binning: Binning,
     img, fT, observe = _blend_pallas_core(
         values, means2d, conics, opacities, m2d_abs_sink,
         binning.gid, binning.is_null, binning.chunk_tile,
-        binning.tile_nonempty, height, width, tile, chunk, interpret)
+        binning.tile_nonempty, binning.expansion_id, binning.gauss_offset,
+        binning.gauss_live, height, width, tile, chunk, interpret)
     return BlendOut(image=img, final_T=fT, observe=observe)
