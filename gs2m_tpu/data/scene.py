@@ -127,6 +127,11 @@ class Scene:
                          enumerate(info.test_cameras + info.train_cameras)]
             with open(os.path.join(model_cfg.model_path, "cameras.json"), "w") as f:
                 json.dump(cams_json, f)
+            # Initial point cloud copy (scene/__init__.py:69-71).
+            if info.ply_path and os.path.exists(info.ply_path):
+                import shutil
+                shutil.copyfile(info.ply_path,
+                                os.path.join(model_cfg.model_path, "input.ply"))
 
         self.resolution_scale = resolution_scale
         self.train_camera_infos = info.train_cameras
