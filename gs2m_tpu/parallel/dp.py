@@ -109,8 +109,7 @@ def make_dp_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
 
     import functools
 
-    @partial(jax.jit, static_argnames=("active_sh_degree",),
-             donate_argnums=(0, 1, 2))
+    @partial(jax.jit, static_argnames=("active_sh_degree",))
     def step(gaussians: Gaussians, opt_state: AdamState, stats: D.DensifyStats,
              gt_images, alpha_masks, gray_images, light_state,
              view_idx, keys, iteration, active_sh_degree: int):
