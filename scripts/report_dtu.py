@@ -10,9 +10,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 from pathlib import Path
 
-from run_dtu import SCENES
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from run_dtu import SCENES  # noqa: E402
 
 
 def main():
