@@ -88,6 +88,9 @@ def main(argv=None):
         if it % 100 == 0:
             loss = float(metrics["loss"])
             ema = loss if ema is None else 0.4 * loss + 0.6 * ema
+            if not np.isfinite(loss):
+                print(f"[!] non-finite loss at iteration {it} — "
+                      "model state is likely corrupted", flush=True)
 
         if it % 100 == 0 and not args.quiet:
             alive = int(trainer.gaussians.num_alive)

@@ -173,7 +173,9 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
 def make_observe_counter(scene: Scene, pipe: PipelineConfig, instance_cap: int,
                          backend: str | None = None) -> Callable:
     """Count, per Gaussian, in how many train views it is observed
-    (train.py:236-245: observe > 0 per view, trim when seen in < 2 views)."""
+    (train.py:236-245: observe > 0 per view, trim when seen in < 2 views).
+    Also returns the max binning overflow across views — counts are only
+    trustworthy when it is zero."""
     backend = backend or ("pallas" if pipe.use_pallas else "xla")
     camera_stack = scene.camera_stack
     V = len(scene.train_cameras)
@@ -183,14 +185,17 @@ def make_observe_counter(scene: Scene, pipe: PipelineConfig, instance_cap: int,
     @partial(jax.jit, static_argnames=("active_sh_degree",))
     def count(gaussians: Gaussians, active_sh_degree: int):
         def body(carry, v):
+            counts, drop = carry
             cam = index_camera(camera_stack, v)
             pkg = render(gaussians, cam, jnp.zeros(3), active_sh_degree,
                          **render_kw)
-            return carry + (pkg["observe"] > 0).astype(jnp.int32), None
+            return (counts + (pkg["observe"] > 0).astype(jnp.int32),
+                    jnp.maximum(drop, pkg["dropped"])), None
 
-        counts, _ = jax.lax.scan(body, jnp.zeros((gaussians.capacity,), jnp.int32),
-                                 jnp.arange(V))
-        return counts
+        (counts, drop), _ = jax.lax.scan(
+            body, (jnp.zeros((gaussians.capacity,), jnp.int32), jnp.int32(0)),
+            jnp.arange(V))
+        return counts, drop
 
     return count
 
@@ -223,9 +228,15 @@ class Trainer:
                             else jnp.zeros((1,), jnp.float32))
         self.light_opt_state = adam_init(self.light_state)
 
-        self.instance_cap = int(pipe.instance_cap_mult * cap // pipe.chunk
-                                * pipe.chunk) or pipe.chunk
-        self.instance_cap = max(self.instance_cap, 4 * pipe.chunk)
+        # Chunk alignment pads every nonempty tile to a chunk multiple, so
+        # the instance buffer needs a per-tile floor on top of the
+        # per-Gaussian multiplier.
+        H0, W0 = scene.train_cameras[0].height, scene.train_cameras[0].width
+        n_tiles = ((H0 + pipe.tile - 1) // pipe.tile) * \
+            ((W0 + pipe.tile - 1) // pipe.tile)
+        want = int(pipe.instance_cap_mult * cap) + n_tiles * pipe.chunk
+        self.instance_cap = max((want // pipe.chunk) * pipe.chunk,
+                                4 * pipe.chunk)
 
         self._steps: dict[tuple, Callable] = {}
         self._observe_counter = None
@@ -313,10 +324,21 @@ class Trainer:
             if self._observe_counter is None:
                 self._observe_counter = make_observe_counter(
                     self.scene, self.pipe, self.instance_cap, self.backend)
-            counts = self._observe_counter(self.gaussians, self.active_sh_degree)
-            trim = (counts < 2) & self.gaussians.alive
-            self.gaussians, self.opt_state, self.stats = D.prune_rows(
-                self.gaussians, self.opt_state, self.stats, trim)
+            counts, drop = self._observe_counter(self.gaussians,
+                                                 self.active_sh_degree)
+            if int(drop) > 0:
+                # Overflowed binning makes the counts untrustworthy — grow
+                # the buffer and skip this trim (no silent mass-pruning).
+                self.instance_cap *= 2
+                self._steps.clear()
+                self._observe_counter = None
+            else:
+                trim = (counts < 2) & self.gaussians.alive
+                n_trim = int(jnp.sum(trim))
+                alive = int(self.gaussians.num_alive)
+                if n_trim < alive:  # never trim the entire model
+                    self.gaussians, self.opt_state, self.stats = D.prune_rows(
+                        self.gaussians, self.opt_state, self.stats, trim)
 
         if it <= opt.densify_until_iter:
             if opt.use_opacity_reduce and it % opt.opacity_reduce_interval == 0:
@@ -335,8 +357,9 @@ class Trainer:
             new_cap = cap * 2
             self.gaussians, self.opt_state, self.stats = D.grow_capacity(
                 self.gaussians, self.opt_state, self.stats, new_cap)
-            self.instance_cap = int(self.pipe.instance_cap_mult * new_cap
-                                    // self.pipe.chunk * self.pipe.chunk)
+            self.instance_cap += int(self.pipe.instance_cap_mult
+                                     * (new_cap - cap)
+                                     // self.pipe.chunk * self.pipe.chunk)
             self._steps.clear()
             self._observe_counter = None
 
