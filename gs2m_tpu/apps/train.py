@@ -34,6 +34,9 @@ def main(argv=None):
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--device", type=str, default="",
                         help="jax platform override (e.g. cpu)")
+    parser.add_argument("--profile_iterations", nargs=2, type=int, default=None,
+                        metavar=("START", "STOP"),
+                        help="capture a jax.profiler trace over [START, STOP)")
     args = parser.parse_args(argv)
 
     if args.device:
@@ -80,9 +83,18 @@ def main(argv=None):
     log_path = os.path.join(model_cfg.model_path, "train_log.jsonl")
     log_file = open(log_path, "a")
     ema = None
+    prof = args.profile_iterations
     while trainer.iteration < opt.iterations:
+        if prof and trainer.iteration + 1 == prof[0]:
+            jax.profiler.start_trace(os.path.join(model_cfg.model_path,
+                                                  "profile"))
         metrics = trainer.train_step()
         it = trainer.iteration
+        if prof and it == prof[1]:
+            float(metrics["loss"])  # sync before closing the trace
+            jax.profiler.stop_trace()
+            print(f"[>] profile trace written to "
+                  f"{model_cfg.model_path}/profile")
         # Metrics live on device; converting every step would add a host
         # round-trip per iteration (expensive through remote runtimes).
         if it % 100 == 0:
