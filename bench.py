@@ -50,7 +50,7 @@ def build_bench_scene(n_gaussians: int, width: int, height: int, seed: int = 0):
 
 
 def run_bench(n_gaussians=500_000, width=1600, height=1200, iters=20,
-              backend="pallas", instance_cap=3 * 2 ** 20, chunk=256):
+              backend="pallas", instance_cap=3 * 2 ** 20, chunk=128):
     import jax
     import jax.numpy as jnp
 

@@ -55,11 +55,13 @@ def test_viewer_roundtrip():
     t = threading.Thread(target=client)
     t.start()
     do_training = None
-    for _ in range(100):
+    for _ in range(200):
         do_training = serve_render(gui, g, "srcpath", backend="xla",
                                    chunk=32, instance_cap=2 ** 12)
         if do_training is not None:
             break
+        import time
+        time.sleep(0.05)  # give the client thread time to connect under load
     t.join(timeout=10)
 
     assert do_training is True
