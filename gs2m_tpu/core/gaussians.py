@@ -30,19 +30,26 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1.0 - x))
 
 
-def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
-    """(…,4) normalized quaternion (r,x,y,z) -> (…,3,3) rotation matrix.
+def quat_to_rotmat_elems(q: jnp.ndarray) -> tuple:
+    """(…,4) normalized quaternion (r,x,y,z) -> the 9 rotation-matrix entries
+    as a row-major tuple of (…,) arrays. Elementwise on purpose: batched
+    (C,3,3) matmuls hit TPU's worst layout (T(4,128) dot_generals cost ~10ms
+    per pass at C=500k); scalar expansion fuses into one VPU pass.
 
     Same element layout as the reference's build_rotation
     (utils/general_utils.py) so covariances/normals match bit-for-bit.
     """
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    R = jnp.stack([
-        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], -1),
-        jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], -1),
-        jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], -1),
-    ], axis=-2)
-    return R
+    return (1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+            2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+            2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y))
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """(…,4) normalized quaternion (r,x,y,z) -> (…,3,3) rotation matrix."""
+    e = quat_to_rotmat_elems(q)
+    return jnp.stack([jnp.stack(e[0:3], -1), jnp.stack(e[3:6], -1),
+                      jnp.stack(e[6:9], -1)], axis=-2)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -106,21 +113,34 @@ class Gaussians:
 
     def get_covariance(self, scaling_modifier: float = 1.0) -> jnp.ndarray:
         """(C, 6) upper-triangular world covariance: Sigma = L L^T, L = R S
-        (gaussian_model.py:28-32 / forward.cu:109-142)."""
-        R = quat_to_rotmat(self.get_rotation)
-        S = self.get_scaling * scaling_modifier
-        L = R * S[:, None, :]
-        sigma = L @ jnp.swapaxes(L, -1, -2)
-        return jnp.stack([sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2],
-                          sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]], axis=-1)
+        (gaussian_model.py:28-32 / forward.cu:109-142). Fully elementwise —
+        sigma_ij = sum_k s_k^2 R_ik R_jk — to stay on the VPU (no batched
+        3x3 dot_generals)."""
+        e = quat_to_rotmat_elems(self.get_rotation)
+        s = self.get_scaling * scaling_modifier
+        s0, s1, s2 = s[:, 0] ** 2, s[:, 1] ** 2, s[:, 2] ** 2
+
+        def sig(i, j):
+            return (s0 * e[3 * i] * e[3 * j] + s1 * e[3 * i + 1] * e[3 * j + 1]
+                    + s2 * e[3 * i + 2] * e[3 * j + 2])
+
+        return jnp.stack([sig(0, 0), sig(0, 1), sig(0, 2),
+                          sig(1, 1), sig(1, 2), sig(2, 2)], axis=-1)
 
     def get_normals(self, cam_center: jnp.ndarray) -> jnp.ndarray:
         """(C, 3) world normals: the rotation column of the shortest axis,
-        flipped toward the camera (gaussian_model.py:146-160)."""
+        flipped toward the camera (gaussian_model.py:146-160). The column
+        select is a where-chain matching argmin's first-min tie-break."""
         scales = self.get_scaling
-        min_axis = jax.nn.one_hot(jnp.argmin(scales, axis=-1), 3, dtype=scales.dtype)
-        R = quat_to_rotmat(self.get_rotation)
-        normals = jnp.einsum("nij,nj->ni", R, min_axis)
+        e = quat_to_rotmat_elems(self.get_rotation)
+        s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+        m0 = (s0 <= s1) & (s0 <= s2)
+        m1 = ~m0 & (s1 <= s2)
+
+        def col(i):
+            return jnp.where(m0, e[3 * i], jnp.where(m1, e[3 * i + 1], e[3 * i + 2]))
+
+        normals = jnp.stack([col(0), col(1), col(2)], axis=-1)
         view_dirs = cam_center[None, :] - self.xyz
         flip = jnp.sum(normals * view_dirs, axis=-1, keepdims=True) < 0.0
         normals = jnp.where(flip, -normals, normals)

@@ -111,10 +111,13 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     tile_sorted, _, packed_sorted, eslot_sorted = jax.lax.sort(
         (tile_id, depth, packed, slots), num_keys=2, is_stable=True)
 
-    # --- per-tile ranges: first-occurrence scatter-min + reverse cummin
-    # (searchsorted's dependent-gather chains are ~40x slower on TPU) ----------
-    first = jnp.full((T + 1,), I, jnp.int32).at[tile_sorted].min(slots)
-    start_fill = jax.lax.cummin(first[::-1])[::-1]  # missing tiles -> next start
+    # --- per-tile ranges: searchsorted from the SMALL side (T+1 queries over
+    # the sorted keys — a 3.1M-update scatter-min costs ~33ms, these ~7500
+    # binary searches ~7ms; missing tiles naturally resolve to the next
+    # tile's start, replacing the reverse-cummin fill) -------------------------
+    start_fill = jnp.searchsorted(
+        tile_sorted, jnp.arange(T + 1, dtype=tile_sorted.dtype),
+        side="left").astype(jnp.int32)
     start = start_fill[:T]
     counts = (start_fill[1:] - start).astype(jnp.int32)
 

@@ -202,20 +202,22 @@ def _run_forward(geom_t, vals_t, chunk_tile, *, T: int, n_chunks: int,
 # Backward kernel (reverse chunk sweep)
 # =============================================================================
 
-def _bwd_kernel(chunk_tile_ref,             # scalar prefetch: REVERSED tiles
+def _bwd_kernel(chunk_tile_ref,             # scalar prefetch (n_chunks,)
                 geom_ref, vals_ref, clogT_ref, cdone_ref,
                 g_img_ref, gT_ref, fT_ref,
                 dgeom_ref, dvals_ref,       # outputs (8, chunk), (16, chunk)
                 S_s,                        # scratch (1, P): suffix accumulator
-                *, tile: int, grid_x: int, width: int, height: int, P: int):
-    # All chunk-major arrays are pre-reversed on the XLA side, so this sweep
-    # walks back-to-front with PLAIN grid indexing (a double scalar-prefetch
-    # indirection ct[rv[r]] in index maps aborts Mosaic at larger grids).
+                *, tile: int, grid_x: int, width: int, height: int, P: int,
+                n_chunks: int):
+    # The sweep walks chunks back-to-front via REVERSED index maps (affine
+    # n-1-i — no pre-reversed copies on the XLA side; only a double
+    # scalar-prefetch indirection ct[rev[r]] aborts Mosaic, affine is fine).
     i = pl.program_id(0)
-    t = chunk_tile_ref[i]
-    prev_t = chunk_tile_ref[jnp.maximum(i - 1, 0)]
-    # In reversed order, a tile is ENTERED at its (original) last chunk.
-    last_of_tile = jnp.logical_or(i == 0, t != prev_t)
+    j = n_chunks - 1 - i                    # original chunk index
+    t = chunk_tile_ref[j]
+    nxt_t = chunk_tile_ref[jnp.minimum(j + 1, n_chunks - 1)]
+    # Walking backwards, a tile is ENTERED at its last chunk.
+    last_of_tile = jnp.logical_or(i == 0, t != nxt_t)
 
     @pl.when(last_of_tile)
     def _():
@@ -223,56 +225,68 @@ def _bwd_kernel(chunk_tile_ref,             # scalar prefetch: REVERSED tiles
         # dL/dalpha_j -= (final_T * dL/dT) / (1 - alpha_j).
         S_s[...] = fT_ref[0] * gT_ref[0]
 
-    px, py = _pixel_coords(t, tile, grid_x, P)
-    g8 = geom_ref[...]
-    alpha, dx, dy, power = _chunk_alpha_kernel(g8, px, py, width, height)
-    w, logT_excl, contribute, _, _ = _compose(alpha, clogT_ref[0],
-                                              cdone_ref[0])
+    # Skip-done culling: if every pixel of the tile had already terminated
+    # at this chunk's START, all weights are 0 — zero the outputs and skip
+    # both MXU passes (mirrors the forward's early-exit, forward.cu:335-338).
+    all_done = jnp.all(cdone_ref[0] > 0.0)
 
-    g = g_img_ref[0]                          # (16, P) cotangent for this tile
-    # u_j,p = g . v_j  -> (chunk, P) via MXU.
-    u = jnp.dot(vals_ref[...].T, g, preferred_element_type=jnp.float32)
+    @pl.when(all_done)
+    def _():
+        dgeom_ref[...] = jnp.zeros_like(dgeom_ref)
+        dvals_ref[...] = jnp.zeros_like(dvals_ref)
 
-    wu = w * u
-    # Suffix AFTER j within this chunk: S_s + sum_{k>j} w_k u_k
-    # (= total - inclusive prefix; avoids sublane reversals).
-    total = jnp.sum(wu, axis=0, keepdims=True)
-    S_after = S_s[...] + total - _cumsum0(wu)
+    @pl.when(jnp.logical_not(all_done))
+    def _():
+        px, py = _pixel_coords(t, tile, grid_x, P)
+        g8 = geom_ref[...]
+        alpha, dx, dy, power = _chunk_alpha_kernel(g8, px, py, width, height)
+        w, logT_excl, contribute, _, _ = _compose(alpha, clogT_ref[0],
+                                                  cdone_ref[0])
 
-    T_excl = jnp.exp(logT_excl)
-    dalpha = jnp.where(contribute,
-                       T_excl * u - S_after / (1.0 - alpha), 0.0)
+        g = g_img_ref[0]                      # (16, P) cotangent for this tile
+        # u_j,p = g . v_j  -> (chunk, P) via MXU.
+        u = jnp.dot(vals_ref[...].T, g, preferred_element_type=jnp.float32)
 
-    # dvals (chunk, 16) = W @ g^T; store transposed into (16, chunk).
-    dvals = jnp.dot(w, g.T, preferred_element_type=jnp.float32)
-    dvals_ref[...] = dvals.T
+        wu = w * u
+        # Suffix AFTER j within this chunk: S_s + sum_{k>j} w_k u_k
+        # (= total - inclusive prefix; avoids sublane reversals).
+        total = jnp.sum(wu, axis=0, keepdims=True)
+        S_after = S_s[...] + total - _cumsum0(wu)
 
-    # Chain through alpha = opacity * exp(power) (clamp/gates -> w==0 rows
-    # already have dalpha == 0; additionally gate the 0.99 clamp like the
-    # golden twin's jnp.minimum).
-    op = g8[5:6, :].T
-    G = jnp.exp(power)
-    unclamped = (op * G) < 0.99
-    dalpha = jnp.where(unclamped, dalpha, 0.0)
-    dop = jnp.sum(G * dalpha, axis=1)                      # (chunk,)
-    dpower = alpha * dalpha
-    ca = g8[2:3, :].T
-    cb = g8[3:4, :].T
-    cc = g8[4:5, :].T
-    d_ca = jnp.sum(-0.5 * dx * dx * dpower, axis=1)
-    d_cb = jnp.sum(-dx * dy * dpower, axis=1)
-    d_cc = jnp.sum(-0.5 * dy * dy * dpower, axis=1)
-    ddx = -(ca * dx + cb * dy) * dpower                    # (chunk, P)
-    ddy = -(cc * dy + cb * dx) * dpower
-    d_mx = jnp.sum(ddx, axis=1)
-    d_my = jnp.sum(ddy, axis=1)
-    d_mx_abs = jnp.sum(jnp.abs(ddx), axis=1)               # AbsGS channel
-    d_my_abs = jnp.sum(jnp.abs(ddy), axis=1)
+        T_excl = jnp.exp(logT_excl)
+        dalpha = jnp.where(contribute,
+                           T_excl * u - S_after / (1.0 - alpha), 0.0)
 
-    dgeom_ref[...] = jnp.stack(
-        [d_mx, d_my, d_ca, d_cb, d_cc, dop, d_mx_abs, d_my_abs], axis=0)
+        # dvals (chunk, 16) = W @ g^T; store transposed into (16, chunk).
+        dvals = jnp.dot(w, g.T, preferred_element_type=jnp.float32)
+        dvals_ref[...] = dvals.T
 
-    S_s[...] = S_s[...] + jnp.sum(wu, axis=0, keepdims=True)
+        # Chain through alpha = opacity * exp(power) (clamp/gates -> w==0
+        # rows already have dalpha == 0; additionally gate the 0.99 clamp
+        # like the golden twin's jnp.minimum).
+        op = g8[5:6, :].T
+        G = jnp.exp(power)
+        unclamped = (op * G) < 0.99
+        dalpha = jnp.where(unclamped, dalpha, 0.0)
+        dop = jnp.sum(G * dalpha, axis=1)                      # (chunk,)
+        dpower = alpha * dalpha
+        ca = g8[2:3, :].T
+        cb = g8[3:4, :].T
+        cc = g8[4:5, :].T
+        d_ca = jnp.sum(-0.5 * dx * dx * dpower, axis=1)
+        d_cb = jnp.sum(-dx * dy * dpower, axis=1)
+        d_cc = jnp.sum(-0.5 * dy * dy * dpower, axis=1)
+        ddx = -(ca * dx + cb * dy) * dpower                    # (chunk, P)
+        ddy = -(cc * dy + cb * dx) * dpower
+        d_mx = jnp.sum(ddx, axis=1)
+        d_my = jnp.sum(ddy, axis=1)
+        d_mx_abs = jnp.sum(jnp.abs(ddx), axis=1)               # AbsGS channel
+        d_my_abs = jnp.sum(jnp.abs(ddy), axis=1)
+
+        dgeom_ref[...] = jnp.stack(
+            [d_mx, d_my, d_ca, d_cb, d_cc, dop, d_mx_abs, d_my_abs], axis=0)
+
+        S_s[...] = S_s[...] + jnp.sum(wu, axis=0, keepdims=True)
 
 
 def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
@@ -280,43 +294,33 @@ def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
                   width: int, height: int, interpret: bool):
     P = tile * tile
     I = n_chunks * chunk
-
-    # Reverse at CHUNK granularity on the XLA side (cheap bandwidth passes).
-    def flip_chunks(x):
-        lead = x.shape[0]
-        return x.reshape(lead, n_chunks, chunk)[:, ::-1].reshape(lead, I)
-
-    geom_r = flip_chunks(geom_t)
-    vals_r = flip_chunks(vals_t)
-    clogT_r = clogT[::-1]
-    cdone_r = cdone[::-1]
-    ct_r = chunk_tile[::-1]
+    n = n_chunks
 
     kernel = functools.partial(_bwd_kernel, tile=tile, grid_x=grid_x,
-                               width=width, height=height, P=P)
+                               width=width, height=height, P=P, n_chunks=n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((8, chunk), lambda i, ct: (0, i),
+            pl.BlockSpec((8, chunk), lambda i, ct: (0, n - 1 - i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, chunk), lambda i, ct: (0, i),
+            pl.BlockSpec((16, chunk), lambda i, ct: (0, n - 1 - i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, ct: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (n - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, ct: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (n - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, P), lambda i, ct: (ct[i], 0, 0),
+            pl.BlockSpec((1, 16, P), lambda i, ct: (ct[n - 1 - i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, ct: (ct[i], 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (ct[n - 1 - i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i, ct: (ct[i], 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i, ct: (ct[n - 1 - i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, chunk), lambda i, ct: (0, i),
+            pl.BlockSpec((8, chunk), lambda i, ct: (0, n - 1 - i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, chunk), lambda i, ct: (0, i),
+            pl.BlockSpec((16, chunk), lambda i, ct: (0, n - 1 - i),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
@@ -325,11 +329,10 @@ def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
         jax.ShapeDtypeStruct((8, I), jnp.float32),
         jax.ShapeDtypeStruct((16, I), jnp.float32),
     ]
-    dgeom_r, dvals_r = pl.pallas_call(
+    return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=interpret)(ct_r, geom_r, vals_r, clogT_r, cdone_r,
+        interpret=interpret)(chunk_tile, geom_t, vals_t, clogT, cdone,
                              g_img, gT, fT)
-    return flip_chunks(dgeom_r), flip_chunks(dvals_r)
 
 
 # =============================================================================
@@ -337,25 +340,29 @@ def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
 # =============================================================================
 
 def _gather_instances(values, means2d, conics, opacities, gid, is_null):
-    """Per-instance transposed tables: geom (8, I), vals (16, I). ONE row
-    gather each (scalar-column gathers are ~10x slower on TPU), then
-    transpose to the lane-major kernel layout."""
+    """Per-instance transposed tables: geom (8, I), vals (16, I), via ONE
+    lane-major (24, C)[:, gid] gather — a single fused gather beats two
+    separate (8,C)+(16,C) gathers by ~25% on TPU, and column gathers from a
+    (K, C) table are ~5x cheaper than (C, K) row gathers."""
     C = values.shape[0]
-    # LANE-MAJOR gathers: (K, C)[:, gid] is ~5x cheaper than (C, K)[gid] on
-    # TPU (row gathers move padded tiles per row).
-    geom_src = jnp.concatenate(
-        [means2d, conics, opacities[:, None], jnp.zeros((C, 2), values.dtype)],
-        axis=-1).T                                 # (8, C)
-    # Null slots zero the whole column: opacity 0 gates them out of the blend.
-    geom_t = jnp.where(is_null[None, :], 0.0, geom_src[:, gid])  # (8, I)
-    vals_t = values.T[:, gid]                      # (16, I)
+    src = jnp.concatenate(
+        [means2d, conics, opacities[:, None], jnp.zeros((C, 2), values.dtype),
+         values], axis=-1).T                       # (24, C): geom 8 | vals 16
+    tab = src[:, gid]                              # (24, I) one gather
+    # Null slots zero the geom column: opacity 0 gates them out of the blend.
+    geom_t = jnp.where(is_null[None, :], 0.0, tab[:8])
+    vals_t = tab[8:]
     return geom_t, vals_t
 
 
 def _untile(img_tiles, fT_tiles, tile_nonempty, grid_y, grid_x, tile):
     T = grid_y * grid_x
-    ne = tile_nonempty.astype(img_tiles.dtype)
-    img = img_tiles[:T] * ne[:, None, None]
+    # jnp.where, NOT a multiply-by-mask: tiles no chunk ever visited (empty
+    # tiles, or nonempty tiles cut whole by instance-cap overflow) keep
+    # UNINITIALIZED kernel output blocks — NaN in interpret mode, garbage on
+    # hardware — and NaN * 0 == NaN.
+    ne = tile_nonempty[:, None, None]
+    img = jnp.where(ne, img_tiles[:T], 0.0)
     fT = jnp.where(tile_nonempty[:, None], fT_tiles[:T],
                    jnp.ones_like(fT_tiles[:T]))
     img = img.reshape(grid_y, grid_x, 16, tile, tile)
@@ -432,29 +439,48 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
         fT_tiles, T=T, n_chunks=n_chunks, chunk=chunk, tile=tile,
         grid_x=grid_x, width=width, height=height, interpret=interpret)
 
-    livef = (~is_null).astype(jnp.float32)
     C = values.shape[0]
 
-    # Per-Gaussian segmented reduction WITHOUT multi-channel scatters (row
-    # scatters serialize catastrophically on TPU). Each Gaussian's instances
-    # occupy a CONTIGUOUS range in EXPANSION order (binning gauss_offset/
-    # gauss_live), so: invert the aligned->expansion permutation with one
-    # 1-channel int scatter, gather grads into expansion order, prefix-sum,
-    # and difference at the known range boundaries — no sort, no bincount.
-    # Lane-major throughout: (24, I) column gathers/cumsums are ~5x cheaper
-    # than (I, 24) row ops on TPU.
-    per_inst = jnp.concatenate([dvals, dgeom], axis=0) * livef[None, :]
-    inv = jnp.full((I + 1,), I, jnp.int32).at[expansion_id].set(
-        jnp.arange(I, dtype=jnp.int32), mode="drop")[:I]
-    per_inst_pad = jnp.concatenate(
-        [per_inst, jnp.zeros((24, 1), per_inst.dtype)], axis=1)
-    grads_exp = per_inst_pad[:, inv]             # (24, I) expansion order
-    cs = jnp.cumsum(grads_exp, axis=1)
-    end = jnp.clip(gauss_offset + gauss_live - 1, 0, I - 1)
-    seg = cs[:, end]                              # (24, C)
-    prev = jnp.where((gauss_offset > 0)[None, :],
-                     cs[:, jnp.clip(gauss_offset - 1, 0, I - 1)], 0.0)
-    acc = jnp.where((gauss_live > 0)[None, :], seg - prev, 0.0)
+    # Per-Gaussian segmented reduction WITHOUT scatters or permutation
+    # gathers. Each Gaussian's instances occupy a CONTIGUOUS range in
+    # EXPANSION order (binning gauss_offset), so sum-per-Gaussian = prefix
+    # difference at the range boundaries. Getting the grads INTO expansion
+    # order is the expensive part: a (24, I) permutation gather costs ~100ms
+    # at 3M instances, while `lax.sort` with the expansion id as key and the
+    # 24 grad channels as payloads costs ~10ms (sorts stream, gathers jump).
+    # Null slots carry key I and zero grads, sorting harmlessly to the tail.
+    per_inst = jnp.concatenate([dvals, dgeom], axis=0)  # (24, I)
+    key = expansion_id  # already I for null slots (binning.py)
+    sorted_ops = jax.lax.sort((key,) + tuple(per_inst[k] for k in range(24)),
+                              num_keys=1, is_stable=False)
+    grads_exp = jnp.stack(sorted_ops[1:], axis=0)       # (24, I) rank order
+
+    # Rank of each expansion id among the PRESENT ids (exact under capacity
+    # drops, where some expansion ids are absent and ranks shift): one
+    # 1-channel scatter of presence + exclusive cumsum.
+    pres = jnp.zeros((I + 1,), jnp.int32).at[key].add(1, mode="drop")[:I]
+    rank_excl = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pres)])  # (I+1,): #present < e
+    # Consecutive Gaussians share boundaries (offsets are contiguous), so ONE
+    # boundary array of C+1 ranks yields all segment sums by differencing.
+    bounds = jnp.concatenate(
+        [gauss_offset, jnp.array([I], jnp.int32)])       # (C+1,) expansion ids
+    r = rank_excl[bounds]                                # (C+1,) ranks in [0,I]
+
+    # Two-level prefix sum (bounded prefix magnitude — a single global f32
+    # cumsum makes per-Gaussian grads the difference of two huge prefixes):
+    # block-local inclusive cumsum + exclusive cumsum of block totals. The
+    # exclusive prefix at rank r is the inclusive prefix at r-1:
+    #   S(r) = blk_excl[(r-1)//B] + loc[(r-1)//B, (r-1)%B]   (0 for r == 0).
+    B = chunk  # I is a multiple of chunk by construction
+    nb = I // B
+    loc = jnp.cumsum(grads_exp.reshape(24, nb, B), axis=2)
+    blk = loc[:, :, -1]
+    blk_excl = jnp.cumsum(blk, axis=1) - blk             # (24, nb)
+    rm1 = jnp.clip(r - 1, 0, I - 1)
+    pos = (r > 0)[None, :]
+    S = jnp.where(pos, blk_excl[:, rm1 // B] + loc.reshape(24, I)[:, rm1], 0.0)
+    acc = S[:, 1:] - S[:, :-1]                           # per-Gaussian sums
 
     d_values = acc[0:16].T
     d_means2d = acc[16:18].T

@@ -129,3 +129,37 @@ def test_pallas_empty_tiles_clean():
     np.testing.assert_allclose(np.asarray(out_p.final_T),
                                np.asarray(out_x.final_T), atol=1e-6)
     assert np.isfinite(np.asarray(out_p.image)).all()
+
+
+def test_pallas_overflow_drops_finite_and_match_xla():
+    """Instance-cap overflow must stay finite and keep backend parity.
+
+    Regression: overflow can cut ALL of a tile's chunks, leaving that tile's
+    kernel output block uninitialized (NaN in interpret mode, garbage on
+    hardware); _untile must `where` it out, not multiply by the mask
+    (NaN * 0 == NaN). Mirrors the reference's behavior of simply truncating
+    the instance list when buffers are fixed (rasterizer_impl.cu:263-296
+    allocates exactly; our static-shape analog drops + reports)."""
+    rng = np.random.default_rng(21)
+    cam = make_camera(width=128, height=128)
+    g = make_scene(rng, n=400, capacity=512, random_pose=True)
+    proj = project(g, cam, g.max_sh_degree)
+    opa = jnp.minimum(g.get_opacity[:, 0] * 8.0, 0.995)
+    feats = build_features(g, cam)
+    values = pack_values(proj.colors, feats, 10)
+    # Deliberately too small: forces both expansion and alignment drops.
+    binning = bin_gaussians(proj, 128, 128, 16, instance_cap=2 ** 12,
+                            chunk=CHUNK)
+    assert int(binning.dropped) > 0
+    out_p = blend_tiles_pallas(values, proj.means2d, proj.conics, opa, binning,
+                               128, 128, 16, CHUNK, interpret=True)
+    out_x = blend_tiles_xla(values, proj.means2d, proj.conics, opa, binning,
+                            128, 128, 16, CHUNK)
+    assert np.isfinite(np.asarray(out_p.image)).all()
+    assert np.isfinite(np.asarray(out_p.final_T)).all()
+    np.testing.assert_allclose(np.asarray(out_p.image), np.asarray(out_x.image),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.final_T),
+                               np.asarray(out_x.final_T), atol=1e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_p.observe),
+                                  np.asarray(out_x.observe))
