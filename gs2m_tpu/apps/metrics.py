@@ -76,6 +76,9 @@ def main(argv=None):
         results[method_dir.name] = res
         with open(method_dir / "per_view.json", "w") as f:
             json.dump(per_view, f, indent=2)
+        if res.get("PSNR") is None or res.get("SSIM") is None:
+            print("    no renders found — skipping")  # keep other methods alive
+            continue
         print(f"    PSNR {res['PSNR']:.3f}  SSIM {res['SSIM']:.4f}")
 
     out = Path(args.model_path) / f"metrics_{args.split}.json"

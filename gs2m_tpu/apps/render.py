@@ -73,7 +73,7 @@ def render_views(model_cfg, pipe, args, scene, gaussians, light_state, split,
                          blend_metallic=model_cfg.metallic,
                          backend=backend, tile=pipe.tile, chunk=pipe.chunk,
                          instance_cap=instance_cap)
-        while int(pkg["dropped"]) > 0:
+        while int(pkg["dropped"]) > 0 and instance_cap < 2 ** 26:
             instance_cap *= 2
             pkg = render_jit(gaussians, cam, bg, gaussians.max_sh_degree,
                              geometry_stage=True, material_stage=True,

@@ -55,8 +55,10 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
                   instance_cap: int, chunk: int) -> Binning:
     """Build the chunk-aligned instance layout from projected Gaussians."""
     assert instance_cap % chunk == 0
-    # Slot arithmetic runs in f32 for speed; exact only below 2^24.
-    assert instance_cap <= 2 ** 24, "instance_cap above f32-exact integer range"
+    # All slot-index arithmetic is int32-exact; the one f32 division below
+    # only sees within-Gaussian offsets (< tiles touched per Gaussian), so the
+    # cap is bounded by the sort/scatter index range, not f32 precision.
+    assert instance_cap <= 2 ** 30, "instance_cap above int32 index range"
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
     I = instance_cap
@@ -85,15 +87,20 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     g = jax.lax.optimization_barrier(g)
     live = slots < total
 
+    # f32 packed table carries only SMALL values (tile coords, rect widths,
+    # depths); the Gaussian's first-slot offset rides in a separate int32
+    # gather so `j = slot - offset` stays int32-exact at any capacity —
+    # offsets/slots themselves exceed f32's 2^24 integer range at tens of
+    # millions of instances, but their difference is < tiles-per-Gaussian.
     table = jnp.stack([
         proj.rect_min[:, 0].astype(jnp.float32),
         proj.rect_min[:, 1].astype(jnp.float32),
         jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1).astype(jnp.float32),
         proj.depths,
-        offsets.astype(jnp.float32),
-    ], axis=-1)                                   # (C, 5)
-    rows = jax.lax.optimization_barrier(table[g])  # (I, 5) one gather
-    j = slots.astype(jnp.float32) - rows[:, 4]
+    ], axis=-1)                                   # (C, 4)
+    rows = jax.lax.optimization_barrier(table[g])  # (I, 4) one gather
+    off_g = offsets[g]                             # (I,) int32 1-channel gather
+    j = (slots - off_g).astype(jnp.float32)        # exact: j < tiles/Gaussian
     q = jnp.floor(j / rows[:, 2])
     tx = rows[:, 0] + (j - q * rows[:, 2])
     ty = rows[:, 1] + q

@@ -240,6 +240,10 @@ class Trainer:
 
         self._steps: dict[tuple, Callable] = {}
         self._observe_counter = None
+        # Device-side running max of binning drops since the last boundary
+        # check — a lazy jnp.maximum per step (no host sync), so a drop burst
+        # anywhere in the window triggers growth, not just on the 100th iter.
+        self._dropped_window = jnp.int32(0)
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self._view_pool: list[int] = []
@@ -294,11 +298,14 @@ class Trainer:
                 self.light_state, light_grad, self.light_opt_state,
                 self.opt.opacity_lr)
 
-        # No silent caps: binning overflow doubles the instance buffer.
-        if it % 100 == 0 and int(metrics["dropped"]) > 0:
-            self.instance_cap *= 2
-            self._steps.clear()
-            self._observe_counter = None
+        # No silent caps: binning overflow doubles the instance buffer. The
+        # window max catches drop bursts BETWEEN the boundary checks too.
+        self._dropped_window = jnp.maximum(self._dropped_window,
+                                           metrics["dropped"])
+        if it % 100 == 0:
+            if int(self._dropped_window) > 0:
+                self._grow_instance_cap()
+            self._dropped_window = jnp.int32(0)
 
         self._maintenance(it)
         return metrics
@@ -329,9 +336,7 @@ class Trainer:
             if int(drop) > 0:
                 # Overflowed binning makes the counts untrustworthy — grow
                 # the buffer and skip this trim (no silent mass-pruning).
-                self.instance_cap *= 2
-                self._steps.clear()
-                self._observe_counter = None
+                self._grow_instance_cap()
             else:
                 trim = (counts < 2) & self.gaussians.alive
                 n_trim = int(jnp.sum(trim))
@@ -348,6 +353,24 @@ class Trainer:
                     self.model_cfg.white_background and it == opt.densify_from_iter):
                 self.gaussians, self.opt_state = D.reset_opacity(
                     self.gaussians, self.opt_state, cap=0.01)
+
+    # Instance-buffer growth ceiling: int32 slot indexing allows up to 2^30,
+    # but the (24, I) f32 instance tables cost ~100 MB per 2^20 instances —
+    # 2^26 (~6.4 GB) is the practical HBM bound on one chip. Hitting it means
+    # the scene overflows even a maximal buffer; keep training (drops are
+    # reported per step) rather than crash, but say so loudly.
+    MAX_INSTANCE_CAP = 2 ** 26
+
+    def _grow_instance_cap(self):
+        if self.instance_cap >= self.MAX_INSTANCE_CAP:
+            print(f"[trainer] WARNING: binning overflow at the maximum "
+                  f"instance cap ({self.instance_cap}); instances will be "
+                  f"dropped (farthest-in-depth last) — consider lowering "
+                  f"resolution or pruning harder", flush=True)
+            return
+        self.instance_cap = min(self.instance_cap * 2, self.MAX_INSTANCE_CAP)
+        self._steps.clear()
+        self._observe_counter = None
 
     def _maybe_grow(self):
         """Grow capacity when free slots drop below 1/8th (powers of two)."""
