@@ -44,6 +44,10 @@ class Binning(NamedTuple):
     expansion_id: jnp.ndarray  # (I,) int32 expansion slot per aligned slot; I = null
     gauss_offset: jnp.ndarray  # (C,) int32 first expansion slot per Gaussian
     gauss_live: jnp.ndarray    # (C,) int32 live (in-capacity) instances per Gaussian
+    num_aligned: jnp.ndarray  # () int32 — chunk-aligned slots in use (cap sizing)
+    gauss_present: jnp.ndarray  # (C,) int32 instances surviving the cull —
+    #   equals the per-Gaussian count in the aligned layout whenever
+    #   dropped == 0 (the blend backward's fast segment-rank path)
 
 
 def num_tiles(height: int, width: int, tile: int) -> tuple[int, int]:
@@ -52,8 +56,19 @@ def num_tiles(height: int, width: int, tile: int) -> tuple[int, int]:
 
 @partial(jax.jit, static_argnames=("height", "width", "tile", "instance_cap", "chunk"))
 def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
-                  instance_cap: int, chunk: int) -> Binning:
-    """Build the chunk-aligned instance layout from projected Gaussians."""
+                  instance_cap: int, chunk: int,
+                  opacities: jnp.ndarray | None = None) -> Binning:
+    """Build the chunk-aligned instance layout from projected Gaussians.
+
+    When `opacities` is given, instances are CULLED by a conservative
+    ellipse-vs-tile test: the reference expands the full bbox rect of a
+    3-sigma CIRCLE (auxiliary.h:44-53), so for anisotropic splats most rect
+    tiles never meet the ellipse. An instance is dropped iff
+    lambda_min(conic) * dist(tile, mean)^2 > 2*ln(255*opacity) — a lower
+    bound on the Mahalanobis form, so every culled instance would have
+    alpha < 1/255 on EVERY pixel of the tile and be gated off by the blend
+    anyway (forward.cu:329: alpha < 1/255 -> continue). Output-identical,
+    but the dead instances never enter the sort/gather/kernel pipeline."""
     assert instance_cap % chunk == 0
     # All slot-index arithmetic is int32-exact; the one f32 division below
     # only sees within-Gaussian offsets (< tiles touched per Gaussian), so the
@@ -88,24 +103,58 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     live = slots < total
 
     # f32 packed table carries only SMALL values (tile coords, rect widths,
-    # depths); the Gaussian's first-slot offset rides in a separate int32
-    # gather so `j = slot - offset` stays int32-exact at any capacity —
-    # offsets/slots themselves exceed f32's 2^24 integer range at tens of
-    # millions of instances, but their difference is < tiles-per-Gaussian.
-    table = jnp.stack([
+    # depths, cull params); the Gaussian's first-slot offset rides in a
+    # separate int32 gather so `j = slot - offset` stays int32-exact at any
+    # capacity — offsets/slots themselves exceed f32's 2^24 integer range at
+    # tens of millions of instances, but their difference is < tiles/Gaussian.
+    cols = [
         proj.rect_min[:, 0].astype(jnp.float32),
         proj.rect_min[:, 1].astype(jnp.float32),
         jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1).astype(jnp.float32),
         proj.depths,
-    ], axis=-1)                                   # (C, 4)
-    rows = jax.lax.optimization_barrier(table[g])  # (I, 4) one gather
-    off_g = offsets[g]                             # (I,) int32 1-channel gather
-    j = (slots - off_g).astype(jnp.float32)        # exact: j < tiles/Gaussian
+    ]
+    if opacities is not None:
+        # Per-Gaussian cull params (binning is index-valued: stop gradients).
+        con = jax.lax.stop_gradient(proj.conics)
+        ca, cb, cc = con[:, 0], con[:, 1], con[:, 2]
+        lmin = jnp.maximum(
+            0.5 * (ca + cc) - jnp.sqrt(0.25 * (ca - cc) ** 2 + cb * cb + 1e-20),
+            0.0)
+        op = jax.lax.stop_gradient(opacities)
+        qmax = 2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0)
+        m2d = jax.lax.stop_gradient(proj.means2d)
+        cols += [m2d[:, 0], m2d[:, 1], lmin, qmax]
+    table = jnp.stack(cols, axis=-1)               # (C, 4 or 8)
+    rows = jax.lax.optimization_barrier(table[g])  # (I, .) one gather
+    # Each slot's Gaussian-start offset WITHOUT a gather (a 3.1M-index int32
+    # gather costs ~27 ms on one chip; this scatter-max + cummax ~6 ms):
+    # scatter each start onto its own slot, hold it forward with cummax.
+    start_marks = jnp.zeros((I,), jnp.int32).at[offsets].max(
+        offsets, mode="drop")
+    off_slot = jax.lax.cummax(start_marks)
+    j = (slots - off_slot).astype(jnp.float32)     # exact: j < tiles/Gaussian
     q = jnp.floor(j / rows[:, 2])
     tx = rows[:, 0] + (j - q * rows[:, 2])
     ty = rows[:, 1] + q
-    tile_id = jnp.where(live, ty * grid_x + tx, T).astype(jnp.int32)
-    depth = jnp.where(live, rows[:, 3], jnp.inf)
+    keep = live
+    if opacities is not None:
+        # Nearest point of the tile's pixel grid to the splat center; the
+        # +1e-3 margin keeps the bound strictly conservative under f32.
+        cx = jnp.clip(rows[:, 4], tx * tile, tx * tile + (tile - 1))
+        cy = jnp.clip(rows[:, 5], ty * tile, ty * tile + (tile - 1))
+        d2 = (rows[:, 4] - cx) ** 2 + (rows[:, 5] - cy) ** 2
+        keep = live & (rows[:, 6] * d2 <= rows[:, 7] + 1e-3)
+    tile_id = jnp.where(keep, ty * grid_x + tx, T).astype(jnp.int32)
+    depth = jnp.where(keep, rows[:, 3], jnp.inf)
+
+    # Per-Gaussian surviving-instance counts: `keep` is in EXPANSION order,
+    # where each Gaussian's slots are contiguous — a cumsum + boundary
+    # differences, no scatter.
+    kcs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(keep.astype(jnp.int32))])
+    seg_lo = jnp.clip(offsets, 0, I)
+    seg_hi = jnp.clip(offsets + tt, 0, I)
+    gauss_present = kcs[seg_hi] - kcs[seg_lo]
 
     # --- lexicographic sort by (tile, depth, slot) ---------------------------
     # The liveness flag rides in a high bit of the gid payload: one fewer
@@ -175,4 +224,6 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
         expansion_id=expansion_id,
         gauss_offset=gauss_offset,
         gauss_live=gauss_live,
+        num_aligned=jnp.minimum(atotal, I).astype(jnp.int32),
+        gauss_present=gauss_present,
     )

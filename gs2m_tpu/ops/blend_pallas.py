@@ -348,7 +348,12 @@ def _gather_instances(values, means2d, conics, opacities, gid, is_null):
     src = jnp.concatenate(
         [means2d, conics, opacities[:, None], jnp.zeros((C, 2), values.dtype),
          values], axis=-1).T                       # (24, C): geom 8 | vals 16
-    tab = src[:, gid]                              # (24, I) one gather
+    # Barriers pin the gather to its clean isolated form — measured 31 ms at
+    # 3.1M x 24 on one chip; letting XLA fuse producers/consumers into the
+    # gather kernel ballooned the same op to 117 ms in the full step.
+    src = jax.lax.optimization_barrier(src)
+    gid = jax.lax.optimization_barrier(gid)
+    tab = jax.lax.optimization_barrier(src[:, gid])  # (24, I) one gather
     # Null slots zero the geom column: opacity 0 gates them out of the blend.
     geom_t = jnp.where(is_null[None, :], 0.0, tab[:8])
     vals_t = tab[8:]
@@ -384,15 +389,17 @@ def _retile(g_img, g_fT, grid_y, grid_x, tile):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(12, 13, 14, 15, 16))
+                   nondiff_argnums=(14, 15, 16, 17, 18))
 def _blend_pallas_core(values, means2d, conics, opacities, abs_sink,
                        gid, is_null, chunk_tile, tile_nonempty,
                        expansion_id, gauss_offset, gauss_live,
+                       gauss_present, dropped,
                        height: int, width: int, tile: int, chunk: int,
                        interpret: bool):
     out, _ = _blend_fwd(values, means2d, conics, opacities, abs_sink,
                         gid, is_null, chunk_tile, tile_nonempty,
                         expansion_id, gauss_offset, gauss_live,
+                        gauss_present, dropped,
                         height, width, tile, chunk, interpret)
     return out
 
@@ -400,6 +407,7 @@ def _blend_pallas_core(values, means2d, conics, opacities, abs_sink,
 def _blend_fwd(values, means2d, conics, opacities, abs_sink,
                gid, is_null, chunk_tile, tile_nonempty,
                expansion_id, gauss_offset, gauss_live,
+               gauss_present, dropped,
                height, width, tile, chunk, interpret):
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
@@ -420,13 +428,15 @@ def _blend_fwd(values, means2d, conics, opacities, abs_sink,
         jnp.where(is_null, 0, obs.reshape(-1)))
 
     res = (values, gid, is_null, chunk_tile, expansion_id, gauss_offset,
-           gauss_live, geom_t, vals_t, clogT, cdone, fT_tiles)
+           gauss_live, gauss_present, dropped, geom_t, vals_t, clogT, cdone,
+           fT_tiles)
     return (img, fT, observe), res
 
 
 def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
     (values, gid, is_null, chunk_tile, expansion_id, gauss_offset,
-     gauss_live, geom_t, vals_t, clogT, cdone, fT_tiles) = res
+     gauss_live, gauss_present, dropped, geom_t, vals_t, clogT, cdone,
+     fT_tiles) = res
     g_img, g_fT, _ = cts
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
@@ -441,13 +451,15 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
 
     C = values.shape[0]
 
-    # Per-Gaussian segmented reduction WITHOUT scatters or permutation
-    # gathers. Each Gaussian's instances occupy a CONTIGUOUS range in
-    # EXPANSION order (binning gauss_offset), so sum-per-Gaussian = prefix
-    # difference at the range boundaries. Getting the grads INTO expansion
-    # order is the expensive part: a (24, I) permutation gather costs ~100ms
-    # at 3M instances, while `lax.sort` with the expansion id as key and the
-    # 24 grad channels as payloads costs ~10ms (sorts stream, gathers jump).
+    # Per-Gaussian segmented reduction WITHOUT scatters. Each Gaussian's
+    # instances occupy a CONTIGUOUS range in EXPANSION order (binning
+    # gauss_offset), so sum-per-Gaussian = prefix difference at the range
+    # boundaries once the grads are in expansion-id order. The reorder rides
+    # the 24 grad channels as `lax.sort` payloads (~53 ms at 3.1M): TPU
+    # gather cost scales with SOURCE-TABLE width, so a permutation gather
+    # from the 3.1M-wide per-instance table costs ~109 ms — twice the sort —
+    # even though the same-index gather from the 500k-wide per-GAUSSIAN
+    # table costs only 25 ms (measured; see _gather_instances).
     # Null slots carry key I and zero grads, sorting harmlessly to the tail.
     per_inst = jnp.concatenate([dvals, dgeom], axis=0)  # (24, I)
     key = expansion_id  # already I for null slots (binning.py)
@@ -455,17 +467,25 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
                               num_keys=1, is_stable=False)
     grads_exp = jnp.stack(sorted_ops[1:], axis=0)       # (24, I) rank order
 
-    # Rank of each expansion id among the PRESENT ids (exact under capacity
-    # drops, where some expansion ids are absent and ranks shift): one
-    # 1-channel scatter of presence + exclusive cumsum.
-    pres = jnp.zeros((I + 1,), jnp.int32).at[key].add(1, mode="drop")[:I]
-    rank_excl = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pres)])  # (I+1,): #present < e
-    # Consecutive Gaussians share boundaries (offsets are contiguous), so ONE
-    # boundary array of C+1 ranks yields all segment sums by differencing.
+    # Rank of each segment boundary among the PRESENT ids. Fast path
+    # (dropped == 0, the steady state — the trainer grows the buffer on any
+    # drop): present ids are exactly the cull survivors, whose per-Gaussian
+    # counts binning already knows — an exclusive cumsum over C. Exact path
+    # (transient overflow): presence scatter + cumsum over I (~24 ms).
     bounds = jnp.concatenate(
         [gauss_offset, jnp.array([I], jnp.int32)])       # (C+1,) expansion ids
-    r = rank_excl[bounds]                                # (C+1,) ranks in [0,I]
+
+    def rank_fast(_):
+        return jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                jnp.cumsum(gauss_present)])
+
+    def rank_exact(_):
+        pres = jnp.zeros((I + 1,), jnp.int32).at[key].add(1, mode="drop")[:I]
+        rank_excl = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(pres)])
+        return rank_excl[bounds]
+
+    r = jax.lax.cond(dropped == 0, rank_fast, rank_exact, None)  # (C+1,)
 
     # Two-level prefix sum (bounded prefix magnitude — a single global f32
     # cumsum makes per-Gaussian grads the difference of two huge prefixes):
@@ -491,7 +511,8 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return (d_values, d_means2d, d_conics, d_opac, d_abs,
             f0(gid), f0(is_null), f0(chunk_tile), f0(jnp.zeros(T, bool)),
-            f0(expansion_id), f0(gauss_offset), f0(gauss_live))
+            f0(expansion_id), f0(gauss_offset), f0(gauss_live),
+            f0(gauss_present), f0(dropped))
 
 
 _blend_pallas_core.defvjp(_blend_fwd, _blend_bwd)
@@ -511,5 +532,6 @@ def blend_tiles_pallas(values, means2d, conics, opacities, binning: Binning,
         values, means2d, conics, opacities, m2d_abs_sink,
         binning.gid, binning.is_null, binning.chunk_tile,
         binning.tile_nonempty, binning.expansion_id, binning.gauss_offset,
-        binning.gauss_live, height, width, tile, chunk, interpret)
+        binning.gauss_live, binning.gauss_present, binning.dropped,
+        height, width, tile, chunk, interpret)
     return BlendOut(image=img, final_T=fT, observe=observe)

@@ -86,7 +86,8 @@ def rasterize_from_projected(
                          radii=proj.radii, observe=out.observe,
                          dropped=jnp.int32(0))
 
-    binning = bin_gaussians(proj, H, W, tile, instance_cap, chunk)
+    binning = bin_gaussians(proj, H, W, tile, instance_cap, chunk,
+                            opacities=opacities)
     values = pack_values(proj.colors, features, feature_count)
 
     if backend == "xla":

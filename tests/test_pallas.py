@@ -163,3 +163,33 @@ def test_pallas_overflow_drops_finite_and_match_xla():
                                np.asarray(out_x.final_T), atol=1e-5, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(out_p.observe),
                                   np.asarray(out_x.observe))
+
+
+def test_pallas_grads_with_cull_match_xla():
+    """Ellipse-tile instance culling (binning with opacities) must keep
+    pallas grads matching the XLA autodiff twin — exercises the fast
+    segment-rank path where culled expansion ids are absent from the
+    aligned layout."""
+    cam, g, proj, opa, values, binning, (h, w) = setup(seed=31)
+    culled = bin_gaussians(proj, h, w, 16, instance_cap=2 ** 13, chunk=CHUNK,
+                           opacities=opa)
+    assert int(culled.num_aligned) <= int(binning.num_aligned)
+    target = jnp.zeros((16, h, w))
+
+    def loss(blend_fn, b, v, m, c, o):
+        out = blend_fn(v, m, c, o, b, h, w, 16, CHUNK)
+        return jnp.sum((out.image[:, :h, :w] - target) ** 2) + jnp.sum(
+            out.final_T[:h, :w])
+
+    import functools
+    gp = jax.grad(functools.partial(loss, functools.partial(
+        blend_tiles_pallas, interpret=True), culled), argnums=(0, 1, 2, 3))(
+        values, proj.means2d, proj.conics, opa)
+    gx = jax.grad(functools.partial(loss, blend_tiles_xla, binning),
+                  argnums=(0, 1, 2, 3))(values, proj.means2d, proj.conics, opa)
+    for a, b, name in zip(gp, gx, ("values", "means2d", "conics", "opac")):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-10
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=1e-4,
+                                   err_msg=name)
