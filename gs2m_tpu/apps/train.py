@@ -37,7 +37,18 @@ def main(argv=None):
     parser.add_argument("--profile_iterations", nargs=2, type=int, default=None,
                         metavar=("START", "STOP"),
                         help="capture a jax.profiler trace over [START, STOP)")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="train one view per device over all local "
+                             "devices (shard_map DP, parallel/dp.py)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: call jax.distributed.initialize() "
+                             "before device discovery (combine with "
+                             "--data_parallel)")
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()  # coordinator via env (JAX_COORDINATOR…)
 
     if args.device:
         import jax
@@ -71,7 +82,15 @@ def main(argv=None):
     from gs2m_tpu.train.reporting import TrainingReporter, evaluate_views
     reporter = TrainingReporter(model_cfg.model_path, enable=not args.quiet)
 
-    trainer = Trainer(model_cfg, pipe, opt, scene, pbr_fns=pbr_fns)
+    mesh = None
+    if args.data_parallel:
+        from jax.sharding import Mesh
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, ("data",))
+        print(f"[>] Data-parallel over {devs.size} devices "
+              f"({devs.size} views/step)")
+
+    trainer = Trainer(model_cfg, pipe, opt, scene, pbr_fns=pbr_fns, mesh=mesh)
     if args.start_checkpoint:
         trainer.load_checkpoint(args.start_checkpoint)
         print(f"[>] Resumed from {args.start_checkpoint} at iteration "
@@ -122,7 +141,24 @@ def main(argv=None):
                                  scene.gt_images[:5], n_views=5,
                                  log_images_to=reporter, iteration=it,
                                  tag="train")
-            print(f"[ITER {it:>6}] train PSNR {res['psnr']:.2f}")
+            line = f"[ITER {it:>6}] train PSNR {res['psnr']:.2f}"
+            if scene.test_cameras:
+                # Held-out PSNR over the FULL test split — the quality signal
+                # (training_utils.py:59-168 evaluates every test camera).
+                tres = evaluate_views(trainer, scene.test_cameras,
+                                      scene.load_test_images(),
+                                      log_images_to=reporter, iteration=it,
+                                      tag="test")
+                line += (f"  test PSNR {tres['psnr']:.2f} "
+                         f"L1 {tres['l1']:.4f} ({len(scene.test_cameras)} views)")
+                reporter.scalars(it, {"test_psnr": tres["psnr"],
+                                      "test_l1": tres["l1"]},
+                                 int(trainer.gaussians.num_alive))
+                log_file.write(json.dumps({
+                    "iteration": it, "test_psnr": tres["psnr"],
+                    "test_l1": tres["l1"]}) + "\n")
+                log_file.flush()
+            print(line)
             reporter.histogram(it, "scene/opacity_histogram",
                                jax.nn.sigmoid(trainer.gaussians.opacity[
                                    trainer.gaussians.alive]))

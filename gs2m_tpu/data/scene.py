@@ -173,6 +173,22 @@ class Scene:
         self.gt_images = jnp.asarray(np.stack(rgbs, 0))       # (V, 3, H, W)
         self.alpha_masks = jnp.asarray(np.stack(alphas, 0))   # (V, 1, H, W)
 
+    def load_test_images(self) -> list:
+        """GT images for the held-out split, loaded lazily on first use
+        (training_report evaluates the full test split,
+        utils/training_utils.py:59-168). Kept as host numpy — the test split
+        is touched a handful of times per run, not worth pinning in HBM."""
+        if getattr(self, "_test_images", None) is None:
+            imgs = []
+            for ci, cam in zip(self.test_camera_infos, self.test_cameras):
+                rgb, alpha = load_view_arrays(ci, (cam.width, cam.height),
+                                              self.model_cfg.mask_gt)
+                if self.model_cfg.white_background and alpha is not None:
+                    rgb = rgb * alpha + (1.0 - alpha)
+                imgs.append(rgb)
+            self._test_images = imgs
+        return self._test_images
+
     # --- training-time state (scene/__init__.py:123-204) ----------------------
 
     def training_setup(self, opt: OptimConfig):

@@ -206,10 +206,15 @@ class Trainer:
     def __init__(self, model_cfg: ModelConfig, pipe: PipelineConfig,
                  opt: OptimConfig, scene: Scene, capacity: int | None = None,
                  backend: str | None = None, seed: int = 0,
-                 pbr_fns: dict | None = None):
+                 pbr_fns: dict | None = None, mesh=None):
         self.model_cfg, self.pipe, self.opt, self.scene = model_cfg, pipe, opt, scene
         self.backend = backend or ("pallas" if pipe.use_pallas else "xla")
         self.pbr_fns = pbr_fns
+        # Data-parallel training: a jax.sharding.Mesh with axis "data" makes
+        # every train_step consume one view PER DEVICE (parallel/dp.py);
+        # densify/trim/reset run on the psum'd statistics unchanged.
+        self.mesh = mesh
+        self.n_devices = int(mesh.devices.size) if mesh is not None else 1
 
         # Material staging (train.py:35-40).
         self.material_from_iter = (opt.geometry_from_iter if model_cfg.material
@@ -249,6 +254,7 @@ class Trainer:
         self._view_pool: list[int] = []
         self.iteration = 0
         self.history: list[dict] = []
+        self.last_densify_info: dict | None = None
 
     # --- step dispatch ---------------------------------------------------------
 
@@ -259,10 +265,17 @@ class Trainer:
     def _get_step(self, geometry_stage: bool, material_stage: bool) -> Callable:
         key = (geometry_stage, material_stage, self.gaussians.capacity)
         if key not in self._steps:
-            self._steps[key] = make_train_step(
-                self.model_cfg, self.pipe, self.opt, self.scene,
-                self.instance_cap, geometry_stage, material_stage,
-                self.backend, self.pbr_fns)
+            if self.mesh is not None:
+                from gs2m_tpu.parallel.dp import make_dp_train_step
+                self._steps[key] = make_dp_train_step(
+                    self.model_cfg, self.pipe, self.opt, self.scene,
+                    self.instance_cap, geometry_stage, material_stage,
+                    self.mesh, self.backend, self.pbr_fns)
+            else:
+                self._steps[key] = make_train_step(
+                    self.model_cfg, self.pipe, self.opt, self.scene,
+                    self.instance_cap, geometry_stage, material_stage,
+                    self.backend, self.pbr_fns)
         return self._steps[key]
 
     def _next_view(self) -> int:
@@ -281,8 +294,15 @@ class Trainer:
 
         geometry_stage, material_stage = self._stage_flags(it)
         step = self._get_step(geometry_stage, material_stage)
-        self.key, sub = jax.random.split(self.key)
-        view_idx = self._next_view()
+        if self.mesh is not None:
+            # One view per device; D distinct PRNG keys (one per view).
+            view_idx = jnp.asarray(
+                [self._next_view() for _ in range(self.n_devices)], jnp.int32)
+            self.key, *subs = jax.random.split(self.key, self.n_devices + 1)
+            sub = jnp.stack(subs)
+        else:
+            self.key, sub = jax.random.split(self.key)
+            view_idx = jnp.int32(self._next_view())
 
         (self.gaussians, self.opt_state, self.stats, light_grad,
          metrics) = step(self.gaussians, self.opt_state, self.stats,
@@ -290,7 +310,7 @@ class Trainer:
                          self.scene.gray_images
                          if self.scene.gray_images is not None
                          else self.scene.gt_images[:, :1],
-                         self.light_state, jnp.int32(view_idx), sub,
+                         self.light_state, view_idx, sub,
                          jnp.int32(it), self.active_sh_degree)
 
         if material_stage and self.pbr_fns is not None:

@@ -103,3 +103,73 @@ def test_dp_losses_match_single_view(dp_setup):
         losses.append(float(loss))
     np.testing.assert_allclose(float(metrics["loss"]), np.mean(losses),
                                rtol=1e-4)
+
+
+def test_dp_pallas_backend_under_shard_map(dp_setup):
+    """The PRODUCTION Pallas backend (interpret on CPU) composed with
+    shard_map + custom_vjp: forward loss equals the XLA twin's, grads stay
+    finite and the step updates params. Guards the composition the dryrun
+    exercises (a shard_map x pallas_call interaction bug would otherwise ship
+    undetected — VERDICT r1 weak #2)."""
+    from gs2m_tpu.parallel.dp import make_dp_train_step
+    from gs2m_tpu.train.densify import DensifyStats
+    from gs2m_tpu.train.optim import adam_init
+
+    mc, pipe, opt, scene, g = dp_setup
+    D = 2
+    mesh = Mesh(np.array(jax.devices()[:D]), ("data",))
+    opt_state = adam_init(g.params_dict())
+    stats = DensifyStats.zeros(g.capacity)
+    light = jnp.zeros((1,))
+    keys = jax.random.split(jax.random.PRNGKey(5), D)
+    view_idx = jnp.asarray([0, 2], jnp.int32)
+
+    outs = {}
+    for be in ("pallas", "xla"):
+        step = make_dp_train_step(mc, pipe, opt, scene, 2 ** 13,
+                                  geometry_stage=True, material_stage=False,
+                                  mesh=mesh, backend=be)
+        outs[be] = step(g, opt_state, stats, scene.gt_images,
+                        scene.alpha_masks, scene.gray_images, light,
+                        view_idx, keys, jnp.int32(1), active_sh_degree=2)
+
+    lp = float(outs["pallas"][4]["loss"])
+    lx = float(outs["xla"][4]["loss"])
+    assert np.isfinite(lp)
+    np.testing.assert_allclose(lp, lx, rtol=1e-4)
+    for pal, ref in zip(jax.tree.leaves(outs["pallas"][0]),
+                        jax.tree.leaves(outs["xla"][0])):
+        assert np.isfinite(np.asarray(pal)).all()
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                                   atol=5e-4, rtol=5e-3)
+
+
+def test_trainer_dp_with_densify_cycle(dp_setup):
+    """Trainer-driven DP: 30 steps on a 2-device mesh with the production
+    backend, crossing one densification boundary — densify/trim/reset
+    orchestration on psum'd stats (VERDICT r1 item #4)."""
+    import dataclasses
+
+    from gs2m_tpu.train.trainer import Trainer
+
+    mc, pipe, opt, scene, g = dp_setup
+    opt2 = dataclasses.replace(
+        opt, iterations=30, densify_from_iter=4, densification_interval=10,
+        densify_until_iter=28, opacity_reset_interval=10_000,
+        geometry_from_iter=2, use_multi_view_trim=False)
+    pipe2 = dataclasses.replace(pipe, use_pallas=True)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    tr = Trainer(mc, pipe2, opt2, scene, mesh=mesh)
+    assert tr.n_devices == 2
+
+    alive0 = int(tr.gaussians.num_alive)
+    losses = []
+    for _ in range(30):
+        m = tr.train_step()
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    # Stats flowed: at least one densify cycle ran on the psum'd statistics.
+    assert tr.last_densify_info is not None
+    # Loss trends down over the run (mean of last 5 < mean of first 5).
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert int(tr.gaussians.num_alive) >= alive0 - 1
