@@ -97,9 +97,20 @@ def _ssim_bwd(res, g):
 ssim_map.defvjp(_ssim_fwd, _ssim_bwd)
 
 
-def fused_ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
-    """Mean SSIM over a (B, C, H, W) batch; grads to img1 only."""
-    return jnp.mean(ssim_map(img1, img2))
+def fused_ssim(img1: jnp.ndarray, img2: jnp.ndarray,
+               padding: str = "same") -> jnp.ndarray:
+    """Mean SSIM over a (B, C, H, W) batch; grads to img1 only.
+
+    padding="valid" averages only pixels whose 11x11 window lies fully
+    inside the image (fused_ssim/__init__.py:34-41 crops 5 px per side) —
+    identical to valid-window SSIM since interior windows never touch the
+    zero padding."""
+    m = ssim_map(img1, img2)
+    if padding == "valid":
+        m = m[:, :, 5:-5, 5:-5]
+    elif padding != "same":
+        raise ValueError(f"padding must be 'same' or 'valid', got {padding!r}")
+    return jnp.mean(m)
 
 
 def ssim_reference(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:

@@ -131,3 +131,32 @@ def test_normals_shortest_axis_and_flip():
     np.testing.assert_allclose(n_front, np.tile([0, 0, 1.0], (2, 1)), atol=1e-6)
     n_back = np.asarray(g.get_normals(jnp.array([0.0, 0.0, -5.0])))
     np.testing.assert_allclose(n_back, np.tile([0, 0, -1.0], (2, 1)), atol=1e-6)
+
+
+def test_fused_ssim_valid_padding():
+    """padding="valid" (fused_ssim/__init__.py:34-41) averages only interior
+    windows; numerically it is the crop of the same-padded map, and its
+    gradient matches autodiff of that cropped mean."""
+    import jax
+    import jax.numpy as jnp
+
+    from gs2m_tpu.ops.ssim import fused_ssim, ssim_map, _ssim_terms
+
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.uniform(0, 1, (1, 3, 32, 40)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (1, 3, 32, 40)).astype(np.float32))
+
+    v = float(fused_ssim(a, b, padding="valid"))
+    expect = float(jnp.mean(ssim_map(a, b)[:, :, 5:-5, 5:-5]))
+    np.testing.assert_allclose(v, expect, rtol=1e-6)
+    assert v != float(fused_ssim(a, b))  # differs from "same" on random data
+
+    g_fused = jax.grad(lambda x: fused_ssim(x, b, padding="valid"))(a)
+    g_auto = jax.grad(
+        lambda x: jnp.mean(_ssim_terms(x, b)[0][:, :, 5:-5, 5:-5]))(a)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_auto),
+                               atol=1e-6, rtol=1e-4)
+
+    import pytest
+    with pytest.raises(ValueError):
+        fused_ssim(a, b, padding="reflect")
