@@ -70,8 +70,24 @@ def main():
             rotate_truck_mesh(mesh)
         gt = f"{args.data}/{scene}/{scene}.ply"
         if os.path.exists(gt):
-            run([sys.executable, "scripts/eval_tnt.py", "--data", mesh,
-                 "--gt", gt, "--out_dir", f"{args.out}/{scene}/evaluation"])
+            cmd = [sys.executable, "scripts/eval_tnt.py", "--data", mesh,
+                   "--gt", gt, "--scene", scene,
+                   "--out_dir", f"{args.out}/{scene}/evaluation"]
+            # Official protocol files, when present (TnT training-data kit):
+            # COLMAP SfM log + GT alignment + cropfile -> trajectory-based
+            # registration (eval_tnt/run.py:75-88). Estimated trajectory from
+            # the trained model's cameras.json.
+            gt_traj = f"{args.data}/{scene}/{scene}_COLMAP_SfM.log"
+            gt_trans = f"{args.data}/{scene}/{scene}_trans.txt"
+            cropfile = f"{args.data}/{scene}/{scene}.json"
+            if os.path.exists(gt_traj):
+                cmd += ["--traj", f"{args.out}/{scene}/cameras.json",
+                        "--gt-traj", gt_traj]
+                if os.path.exists(gt_trans):
+                    cmd += ["--gt-trans", gt_trans]
+            if os.path.exists(cropfile):
+                cmd += ["--crop", cropfile]
+            run(cmd)
         else:
             print(f"[!] GT point cloud {gt} not found; skipping F-score")
 
