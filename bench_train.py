@@ -1,0 +1,110 @@
+"""Training-throughput benchmark: geometry-stage it/s at DTU-like scale.
+
+The number that decides whether a 30k-iteration run takes one hour or ten
+(the reference logs iter_time as a first-class metric, train.py:66-67,192).
+Drives the REAL Trainer (staged objective: main render + neighbor render +
+multi-view/depth-normal/plane losses + Adam + densify-stat accumulation) on
+a synthetic scene at 800x600 (DTU -r2) with a configurable Gaussian count,
+and prints one JSON line:
+
+  {"metric": "train_geometry_it_per_s", "value": ..., "unit": "it/s",
+   "step_ms": ..., "gaussians": ..., "projected_30k_min": ...}
+
+Usage:
+  PYTHONPATH=/root/.axon_site:/root/repo python bench_train.py \
+      [--gaussians 300000] [--width 800] [--height 600] [--iters 30]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_scene(n_views, width, height, n_points, seed=0):
+    import jax.numpy as jnp
+
+    from gs2m_tpu.core.config import ModelConfig, OptimConfig, PipelineConfig
+    from gs2m_tpu.data.readers import CameraInfo, SceneInfo
+    from gs2m_tpu.data.scene import Scene
+    from tests.make_synthetic_scene import ring_camera
+
+    rng = np.random.default_rng(seed)
+    pts = np.stack([
+        rng.uniform(-1.6, 1.6, n_points),
+        rng.uniform(-1.2, 1.2, n_points),
+        rng.uniform(-1.0, 1.0, n_points),
+    ], -1).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, (n_points, 3)).astype(np.float32)
+
+    infos = []
+    fx = 1.1 * width
+    for i in range(n_views):
+        R, T = ring_camera(2 * np.pi * i / n_views)
+        infos.append(CameraInfo(uid=i, R=R, T=T, fx=fx, fy=fx, width=width,
+                                height=height, image_name=f"v{i}",
+                                image_path=""))
+    info = SceneInfo(points=pts, colors=cols, normals=np.zeros_like(pts),
+                     train_cameras=infos, test_cameras=[],
+                     translate=np.zeros(3), radius=5.0)
+    mc = ModelConfig(resolution=1, sh_degree=3)
+    opt = OptimConfig(geometry_from_iter=0,
+                      multi_view_max_angle=179.0, multi_view_max_dist=100.0,
+                      nearby_cam_max_angle=179.0, nearby_cam_max_dist=100.0)
+    pipe = PipelineConfig(chunk=128, use_pallas=True)
+    scene = Scene(mc, resolution_scale=1.0, shuffle=False, load_images=False,
+                  scene_info=info)
+    scene.gt_images = jnp.asarray(
+        rng.uniform(0, 1, (n_views, 3, height, width)).astype(np.float32))
+    scene.alpha_masks = jnp.ones((n_views, 1, height, width), jnp.float32)
+    scene.training_setup(opt)
+    return mc, pipe, opt, scene
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gaussians", type=int, default=300_000)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--backend", default="pallas")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from gs2m_tpu.train.trainer import Trainer
+
+    mc, pipe, opt, scene = build_scene(args.views, args.width, args.height,
+                                       args.gaussians)
+    trainer = Trainer(mc, pipe, opt, scene, backend=args.backend)
+    # Skip straight into the geometry stage at full SH.
+    trainer.active_sh_degree = mc.sh_degree
+
+    # Warmup: compile + let any overflow-driven instance-cap growth settle.
+    for _ in range(3):
+        m = trainer.train_step()
+    float(m["loss"])  # scalar readback: full sync through remote runtimes
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        m = trainer.train_step()
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+
+    print(json.dumps({
+        "metric": "train_geometry_it_per_s",
+        "value": round(1.0 / dt, 3),
+        "unit": "it/s",
+        "step_ms": round(dt * 1e3, 1),
+        "gaussians": args.gaussians,
+        "resolution": f"{args.width}x{args.height}",
+        "instance_cap": trainer.instance_cap,
+        "projected_30k_min": round(30_000 * dt / 60.0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
