@@ -50,7 +50,7 @@ def build_bench_scene(n_gaussians: int, width: int, height: int, seed: int = 0):
 
 
 def run_bench(n_gaussians=500_000, width=1600, height=1200, iters=20,
-              backend="pallas", instance_cap=3 * 2 ** 20, chunk=128):
+              backend="pallas", instance_cap=None, chunk=128):
     import jax
     import jax.numpy as jnp
 
@@ -58,6 +58,23 @@ def run_bench(n_gaussians=500_000, width=1600, height=1200, iters=20,
 
     g, cam = build_bench_scene(n_gaussians, width, height)
     target = jnp.zeros((3, height, width))
+
+    # Size the instance buffer from a measured binning pass (the Trainer
+    # grows its buffer adaptively the same way): every sort/gather/kernel
+    # cost scales with the STATIC cap, so a right-sized cap is a first-class
+    # part of the TPU design, not a benchmark trick. 6% headroom; the run
+    # still reports `dropped` and would fail loudly on overflow.
+    from gs2m_tpu.ops.projection import project
+    from gs2m_tpu.ops.binning import bin_gaussians
+    proj = project(g, cam, 3)
+    probe = bin_gaussians(proj, height, width, 16, 3 * 2 ** 20, chunk,
+                          opacities=g.get_opacity[:, 0])
+    n_inst = int(probe.num_instances)
+    if instance_cap is None:
+        # Round up to 2^17 granularity: friendlier shapes for the compiler's
+        # tiling search than an arbitrary chunk multiple.
+        want = int(int(probe.num_aligned) * 1.06)
+        instance_cap = max(-(-want // 2 ** 17) * 2 ** 17, 4 * chunk)
 
     def loss_fn(params):
         pkg = render(g.with_params(params), cam, jnp.zeros(3),
@@ -70,13 +87,10 @@ def run_bench(n_gaussians=500_000, width=1600, height=1200, iters=20,
     step = jax.jit(jax.grad(loss_fn))
     params = g.params_dict()
 
-    # Diagnostics: report actual instance load once.
-    from gs2m_tpu.ops.projection import project
-    from gs2m_tpu.ops.binning import bin_gaussians
-    proj = project(g, cam, 3)
-    binning = bin_gaussians(proj, height, width, 16, instance_cap, chunk)
-    n_inst = int(binning.num_instances)
+    binning = bin_gaussians(proj, height, width, 16, instance_cap, chunk,
+                            opacities=g.get_opacity[:, 0])
     dropped = int(binning.dropped)
+    assert dropped == 0, f"bench instance cap overflowed: dropped={dropped}"
 
     grads = step(params)
     float(grads["xyz"][0, 0])  # full sync (block_until_ready can be lazy

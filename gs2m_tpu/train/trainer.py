@@ -256,6 +256,19 @@ class Trainer:
         self.history: list[dict] = []
         self.last_densify_info: dict | None = None
 
+        # Sparse neighbor graphs silently zero the multi-view / roughness
+        # losses for affected views (the per-view has_nearby gate) — say so
+        # up front instead of letting Lmv/Lr vanish unnoticed.
+        if hasattr(scene, "nearest_mask"):
+            for name, mask in (("nearest", scene.nearest_mask),
+                               ("nearby", scene.nearby_mask)):
+                n_bare = int(np.sum(~np.asarray(mask).any(axis=1)))
+                if n_bare:
+                    print(f"[trainer] WARNING: {n_bare}/{mask.shape[0]} views "
+                          f"have no {name} camera — their multi-view losses "
+                          f"will be zero (widen the *_max_angle/_max_dist "
+                          f"thresholds if unintended)", flush=True)
+
     # --- step dispatch ---------------------------------------------------------
 
     def _stage_flags(self, iteration: int) -> tuple[bool, bool]:
@@ -426,10 +439,17 @@ class Trainer:
             with open(os.path.join(d, "lighting.pkl"), "wb") as f:
                 pickle.dump(np.asarray(self.light_state), f)
 
+    # Bump when the checkpoint layout changes; load_checkpoint migrates or
+    # rejects loudly instead of resuming from silently-misread state.
+    CHECKPOINT_VERSION = 2
+
     def save_checkpoint(self, path: str):
         state = {
+            "version": self.CHECKPOINT_VERSION,
             "iteration": self.iteration,
             "active_sh_degree": self.active_sh_degree,
+            "capacity": self.gaussians.capacity,
+            "instance_cap": self.instance_cap,
             "gaussians": jax.tree.map(np.asarray, self.gaussians),
             "opt_state": jax.tree.map(np.asarray, self.opt_state),
             "stats": jax.tree.map(np.asarray, self.stats),
@@ -443,6 +463,11 @@ class Trainer:
     def load_checkpoint(self, path: str):
         with open(path, "rb") as f:
             state = pickle.load(f)
+        version = state.get("version", 1)
+        if version > self.CHECKPOINT_VERSION:
+            raise ValueError(
+                f"checkpoint {path} is version {version}, this build reads "
+                f"<= {self.CHECKPOINT_VERSION} — update the code or retrain")
         self.iteration = state["iteration"]
         self.active_sh_degree = state["active_sh_degree"]
         self.gaussians = jax.tree.map(jnp.asarray, state["gaussians"])
@@ -450,3 +475,15 @@ class Trainer:
         self.stats = jax.tree.map(jnp.asarray, state["stats"])
         self.light_state = jnp.asarray(state["light_state"])
         self.light_opt_state = jax.tree.map(jnp.asarray, state["light_opt_state"])
+        # Capacity-layout state saved from v2 on; older checkpoints fall back
+        # to the freshly-constructed instance cap (re-grown on demand).
+        if "instance_cap" in state:
+            self.instance_cap = int(state["instance_cap"])
+        cap = state.get("capacity", self.gaussians.capacity)
+        if cap != self.gaussians.capacity:
+            raise ValueError(
+                f"checkpoint capacity {cap} != restored array capacity "
+                f"{self.gaussians.capacity} — corrupted checkpoint")
+        # Restored state invalidates any step compiled for the old shapes.
+        self._steps.clear()
+        self._observe_counter = None

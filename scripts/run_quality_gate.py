@@ -1,0 +1,157 @@
+"""Quality-parity gate: full protocol on a synthetic surface scene, on TPU.
+
+The BASELINE.md gate the reference sets with scripts/run_dtu.py:21-48
+(train -> render -> metrics -> chamfer + runtime.json), scaled to what this
+environment can verify without DTU data: a Gaussian-splat sphere scene with
+ANALYTIC geometry ground truth.
+
+Pipeline:
+  1. build a solid-sphere COLMAP scene (tests/make_synthetic_scene.build
+     surface=True) at 400x300 with an llffhold test split
+  2. train the full geometry-stage schedule with densify/trim/reset
+     (gs2m_tpu.apps.train --eval), logging held-out PSNR
+  3. render + TSDF-fuse + mesh (gs2m_tpu.apps.render --extract_mesh)
+  4. chamfer of the mesh against the ANALYTIC unit sphere + test-split PSNR
+     (gs2m_tpu.apps.metrics)
+  5. write quality_gate.json with all numbers + wall-clock
+
+Usage:
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/run_quality_gate.py \
+      [--out /tmp/gs2m_quality] [--iterations 5000] [--skip_train]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run(cmd, **kw):
+    print("[run]", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO, **kw)
+
+
+def sphere_chamfer(mesh_ply: str, radius: float = 1.0) -> dict:
+    """Bidirectional chamfer between the mesh and the analytic sphere."""
+    from scipy.spatial import cKDTree
+
+    from gs2m_tpu.data.ply import fetch_mesh
+    from scripts.eval_dtu import sample_mesh_surface
+
+    verts, faces, _ = fetch_mesh(mesh_ply)
+    if len(faces) > 0:
+        pts = sample_mesh_surface(verts.astype(np.float64), faces, 0.01)
+    else:
+        pts = verts.astype(np.float64)
+    # mesh -> sphere: exact analytic distance.
+    d_m2s = np.abs(np.linalg.norm(pts, axis=1) - radius)
+    # sphere -> mesh: sampled sphere vs mesh point KD-tree (coverage term).
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(20000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    d_s2m, _ = cKDTree(pts).query(v * radius, k=1, workers=-1)
+    return {
+        "mesh_to_surface_mean": float(d_m2s.mean()),
+        "surface_to_mesh_mean": float(d_s2m.mean()),
+        "chamfer_mean": float(0.5 * (d_m2s.mean() + d_s2m.mean())),
+        "mesh_points": int(len(pts)),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/gs2m_quality")
+    ap.add_argument("--iterations", type=int, default=5000)
+    ap.add_argument("--width", type=int, default=400)
+    ap.add_argument("--height", type=int, default=300)
+    ap.add_argument("--views", type=int, default=24)
+    ap.add_argument("--points", type=int, default=6000)
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse an existing trained model dir")
+    ap.add_argument("--backend", default="pallas")
+    args = ap.parse_args(argv)
+
+    scene_dir = os.path.join(args.out, "scene")
+    model_dir = os.path.join(args.out, "model")
+    py = sys.executable
+
+    if not os.path.exists(os.path.join(scene_dir, "sparse/0/images.bin")):
+        print("[>] Building synthetic surface scene", flush=True)
+        # Scene building runs on CPU (golden renderer at modest size).
+        run([py, "-c",
+             "import jax; jax.config.update('jax_platforms', 'cpu');"
+             "import sys; sys.path.insert(0, 'tests');"
+             "from make_synthetic_scene import build;"
+             f"build('{scene_dir}', n_views={args.views}, "
+             f"width={args.width}, height={args.height}, "
+             f"n_points={args.points}, surface=True, opacity_boost=8.0, "
+             "point_scale=0.05)"])
+
+    t0 = time.time()
+    if not args.skip_train:
+        run([py, "-m", "gs2m_tpu.apps.train",
+             "-s", scene_dir, "-m", model_dir, "--eval", "-r", "1",
+             "--iterations", str(args.iterations),
+             "--geometry_from_iter", "1000",
+             "--densify_until_iter", str(int(args.iterations * 0.8)),
+             "--densify_from_iter", "500",
+             "--opacity_reset_interval", "3000",
+             "--test_iterations", *[str(v) for v in
+                                    (1000, 2000, 3000, args.iterations)],
+             "--save_iterations", str(args.iterations)])
+    train_min = (time.time() - t0) / 60.0
+
+    run([py, "-m", "gs2m_tpu.apps.render", "-m", model_dir,
+         "--extract_mesh", "--voxel_size", "0.02", "--sdf_trunc", "0.08",
+         "--iteration", str(args.iterations)])
+    run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir])
+
+    mesh_dir = None
+    for root, dirs, files in os.walk(model_dir):
+        for f in files:
+            if f in ("tsdf_post.ply", "tsdf.ply"):
+                mesh_dir = os.path.join(root, f)
+    assert mesh_dir, f"no TSDF mesh found under {model_dir}"
+    chamfer = sphere_chamfer(mesh_dir)
+
+    metrics = {}
+    mpath = os.path.join(model_dir, "metrics_test.json")
+    if os.path.exists(mpath):
+        metrics = json.load(open(mpath))
+
+    # Held-out PSNR trajectory from the train log.
+    test_psnrs = []
+    log_path = os.path.join(model_dir, "train_log.jsonl")
+    if os.path.exists(log_path):
+        for line in open(log_path):
+            rec = json.loads(line)
+            if "test_psnr" in rec:
+                test_psnrs.append((rec["iteration"], rec["test_psnr"]))
+
+    result = {
+        "scene": "synthetic_sphere",
+        "resolution": f"{args.width}x{args.height}",
+        "iterations": args.iterations,
+        "train_minutes": round(train_min, 2),
+        "chamfer": chamfer,
+        "test_psnr_trajectory": test_psnrs,
+        "metrics_test": metrics,
+        "mesh": mesh_dir,
+    }
+    out_json = os.path.join(args.out, "quality_gate.json")
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=2)
+    print("[>] quality gate:", json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

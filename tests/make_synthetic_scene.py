@@ -30,8 +30,20 @@ def make_scene_data(n_points: int = 300, seed: int = 0):
     return pts, cols
 
 
+def make_sphere_data(n_points: int = 4000, radius: float = 1.0, seed: int = 0):
+    """Points ON a sphere surface (analytic geometry ground truth for the
+    train -> mesh -> chamfer quality gate)."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n_points, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = (v * radius).astype(np.float32)
+    cols = (0.5 + 0.45 * v).astype(np.float32)  # smooth normal-coded colors
+    return pts, cols
+
+
 def build(out_dir: str, n_views: int = 10, width: int = 64, height: int = 48,
-          n_points: int = 300, seed: int = 0):
+          n_points: int = 300, seed: int = 0, surface: bool = False,
+          opacity_boost: float = 6.0, point_scale: float | None = None):
     import jax.numpy as jnp
     from PIL import Image
 
@@ -41,8 +53,14 @@ def build(out_dir: str, n_views: int = 10, width: int = 64, height: int = 48,
     from gs2m_tpu.ops.projection import project
     from gs2m_tpu.ops.rasterize import build_features, rasterize_from_projected
 
-    pts, cols = make_scene_data(n_points, seed)
-    g = Gaussians.create(pts, cols, max_sh_degree=1, capacity=pts.shape[0])
+    if surface:
+        pts, cols = make_sphere_data(n_points, seed=seed)
+    else:
+        pts, cols = make_scene_data(n_points, seed)
+    msd = (np.full(pts.shape[0], point_scale ** 2, np.float32)
+           if point_scale is not None else None)
+    g = Gaussians.create(pts, cols, max_sh_degree=1, capacity=pts.shape[0],
+                         mean_sq_dist=msd)
 
     fx = fy = 0.9 * width
     os.makedirs(os.path.join(out_dir, "sparse/0"), exist_ok=True)
@@ -60,7 +78,7 @@ def build(out_dir: str, n_views: int = 10, width: int = 64, height: int = 48,
                             fovy=2 * np.arctan(height / (2 * fy)),
                             width=width, height=height)
         proj = project(g, cam, g.max_sh_degree)
-        opa = jnp.minimum(g.get_opacity[:, 0] * 6.0, 0.99)
+        opa = jnp.minimum(g.get_opacity[:, 0] * opacity_boost, 0.99)
         feats = build_features(g, cam)
         out = rasterize_from_projected(proj, opa, feats, jnp.zeros(3), cam,
                                        feature_count=1, chunk=64,
