@@ -53,7 +53,9 @@ def build_scene(n_views, width, height, n_points, seed=0):
     opt = OptimConfig(geometry_from_iter=0,
                       multi_view_max_angle=179.0, multi_view_max_dist=100.0,
                       nearby_cam_max_angle=179.0, nearby_cam_max_dist=100.0)
-    pipe = PipelineConfig(chunk=128, use_pallas=True)
+    # Fixed-population bench (no densification inside the window): a lean
+    # instance multiplier — overflow growth would resize it automatically.
+    pipe = PipelineConfig(chunk=128, use_pallas=True, instance_cap_mult=2.0)
     scene = Scene(mc, resolution_scale=1.0, shuffle=False, load_images=False,
                   scene_info=info)
     scene.gt_images = jnp.asarray(
@@ -79,7 +81,9 @@ def main(argv=None):
 
     mc, pipe, opt, scene = build_scene(args.views, args.width, args.height,
                                        args.gaussians)
-    trainer = Trainer(mc, pipe, opt, scene, backend=args.backend)
+    cap = 1 << max(int(np.ceil(np.log2(args.gaussians * 1.2))), 10)
+    trainer = Trainer(mc, pipe, opt, scene, capacity=cap,
+                      backend=args.backend)
     # Skip straight into the geometry stage at full SH.
     trainer.active_sh_degree = mc.sh_degree
 

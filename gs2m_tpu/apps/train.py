@@ -129,9 +129,11 @@ def main(argv=None):
             print(f"[{it:>6}] loss {ema:.5f} Lrgb {float(metrics['Lrgb']):.5f} "
                   f"Lgeo {float(metrics['Lgeo']):.5f} points {alive} "
                   f"({it / dt:.1f} it/s)", flush=True)
-            log_file.write(json.dumps({
-                "iteration": it, "loss": ema, "points": alive,
-                "elapsed_s": dt, "dropped": int(metrics["dropped"])}) + "\n")
+            rec = {"iteration": it, "loss": ema, "points": alive,
+                   "elapsed_s": dt, "dropped": int(metrics["dropped"])}
+            if trainer.last_trim_seconds is not None:
+                rec["trim_s"] = round(trainer.last_trim_seconds, 2)
+            log_file.write(json.dumps(rec) + "\n")
             log_file.flush()
             reporter.scalars(it, {k: float(v) for k, v in metrics.items()},
                              alive, iter_time_ms=1e3 * dt / it)

@@ -49,7 +49,12 @@ class PipelineConfig:
     # TPU-specific knobs (no reference equivalent):
     tile: int = 16                      # pixel tile edge for binning
     chunk: int = 256                    # Gaussians per blend chunk
-    instance_cap_mult: float = 8.0      # instance buffer capacity ~ mult * capacity
+    # Instance buffer ~ mult * capacity (+ per-tile alignment floor). Every
+    # sort/gather/kernel cost scales with this STATIC cap, and 8M+ caps have
+    # hung remote compiles — start lean; binning overflow doubles it on
+    # demand (trainer._grow_instance_cap), and the ellipse-tile cull keeps
+    # the real load well under the rect-expansion estimate.
+    instance_cap_mult: float = 4.0
     use_pallas: bool = True             # False -> pure-XLA blend (golden-equivalent)
 
 

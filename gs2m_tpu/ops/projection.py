@@ -97,6 +97,37 @@ def compute_cov2d(xyz: jnp.ndarray, cov3d: jnp.ndarray, camera: Camera) -> jnp.n
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 
+def crop_projected(proj: Projected, y0: jnp.ndarray, local_height: int,
+                   tile: int) -> Projected:
+    """Shift a Projected into the window rows [y0, y0 + local_height).
+
+    The enabler for tile-sharded multi-chip rendering (parallel/sp.py) and
+    banded rendering of huge images: screen y moves by -y0 (y0 a multiple of
+    `tile`), the tile rect is re-clamped to the local grid, and Gaussians
+    whose rect misses the window are invalidated. Downstream binning/blend
+    then run UNCHANGED at the local height — per-pixel math is identical to
+    the full-frame render, so shard outputs concatenate exactly.
+
+    y0 may be traced (lax.axis_index inside shard_map); local_height static.
+    """
+    y0 = jnp.asarray(y0, jnp.int32)
+    y0_t = y0 // tile
+    local_gy = (local_height + tile - 1) // tile
+    means2d = proj.means2d - jnp.stack(
+        [jnp.zeros((), proj.means2d.dtype), y0.astype(proj.means2d.dtype)])
+    rmin_y = jnp.clip(proj.rect_min[:, 1] - y0_t, 0, local_gy)
+    rmax_y = jnp.clip(proj.rect_max[:, 1] - y0_t, 0, local_gy)
+    area = (proj.rect_max[:, 0] - proj.rect_min[:, 0]) * (rmax_y - rmin_y)
+    valid = proj.valid & (area > 0)
+    return proj._replace(
+        means2d=jnp.where(valid[:, None], means2d, -1e4),
+        rect_min=jnp.stack([proj.rect_min[:, 0], rmin_y], -1),
+        rect_max=jnp.stack([proj.rect_max[:, 0], rmax_y], -1),
+        tiles_touched=jnp.where(valid, area, 0).astype(jnp.int32),
+        valid=valid,
+    )
+
+
 def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
             tile: int = 16, scale_modifier: float = 1.0) -> Projected:
     """Vectorized preprocess over the padded capacity."""

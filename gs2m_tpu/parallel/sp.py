@@ -1,0 +1,106 @@
+"""Tile-sharded (spatial) multi-chip rendering over a jax.sharding.Mesh.
+
+The reference is single-GPU; this is native scale-out for the OTHER axis
+than parallel/dp.py: instead of one VIEW per device, one horizontal BAND of
+one view per device — the parallelism that matters for very large frames
+and low-latency single-view rendering (SIBR viewer, eval sweeps).
+
+Design ("How to Scale Your Model" recipe — pick a mesh, keep compute local,
+let collectives ride ICI):
+
+* mesh axis "sp": device d owns image rows [d*H/D, (d+1)*H/D) (H padded to
+  a multiple of D*tile). Gaussians and the camera are REPLICATED — the
+  per-Gaussian preprocess is C-sized and cheap to recompute per device.
+* each device SHIFTS the projected geometry into its window
+  (ops/projection.crop_projected) and runs the standard binning + blend at
+  the local height — per-pixel semantics identical to the full-frame
+  render, so the shard outputs concatenate exactly (up to chunk-boundary
+  fp reassociation).
+* the image leaves shard_map PARTITIONED over rows (out_spec P(None,"sp",
+  None)) — zero communication in the forward; XLA inserts the all-gather
+  only if a consumer needs the full frame on one device.
+* per-Gaussian outputs (observe, radii) and backward gradients are `psum`s
+  — each Gaussian's instances split disjointly across bands, so the sums
+  reproduce the single-chip totals.
+
+Instance capacity: each band sees ~1/D of the instances, so callers pass
+the SINGLE-FRAME cap divided by D (rounded to chunk) — the same overflow
+reporting applies per band.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gs2m_tpu.core.camera import Camera
+from gs2m_tpu.core.gaussians import Gaussians
+from gs2m_tpu.ops.projection import crop_projected, project
+
+
+def padded_height(height: int, n_devices: int, tile: int = 16) -> int:
+    q = n_devices * tile
+    return (height + q - 1) // q * q
+
+
+def make_sp_render(mesh: Mesh, height: int, width: int, *,
+                   feature_count: int = 10, active_sh_degree: int = 3,
+                   tile: int = 16, chunk: int = 128,
+                   instance_cap_per_band: int = 2 ** 17,
+                   backend: str = "pallas") -> Callable:
+    """Jitted (gaussians, camera, bg) -> dict sharded over image rows.
+
+    Returns the rasterizer surface (color/buffer/final_T/observe/radii/
+    dropped); the caller's camera must match `height`/`width` (pad height
+    with `padded_height` first).
+    """
+    (axis,) = mesh.axis_names
+    D = mesh.devices.size
+    Hp = padded_height(height, D, tile)
+    local_h = Hp // D
+    assert instance_cap_per_band % chunk == 0
+
+    def band(gaussians: Gaussians, camera: Camera, bg):
+        from gs2m_tpu.ops.rasterize import (build_features,
+                                            rasterize_from_projected)
+
+        d = jax.lax.axis_index(axis)
+        y0 = d * local_h
+        proj = project(gaussians, camera, active_sh_degree, tile=tile)
+        proj = crop_projected(proj, y0, local_h, tile)
+        feats = build_features(gaussians, camera)
+        # rasterize only reads height/width from the camera (static meta).
+        import dataclasses
+        local_cam = dataclasses.replace(camera, height=local_h)
+        out = rasterize_from_projected(
+            proj, gaussians.get_opacity[:, 0], feats, bg, local_cam,
+            feature_count=feature_count, tile=tile, chunk=chunk,
+            instance_cap=instance_cap_per_band, backend=backend)
+        # Per-Gaussian reductions: bands partition each Gaussian's
+        # instances disjointly.
+        observe = jax.lax.psum(out.observe, axis)
+        dropped = jax.lax.psum(out.dropped, axis)
+        radii = jax.lax.pmax(out.radii, axis)
+        return (out.color, out.buffer, out.final_T, observe, radii, dropped)
+
+    smapped = jax.shard_map(
+        band, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(None, axis, None), P(None, axis, None), P(axis, None),
+                   P(), P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def render_sp(gaussians: Gaussians, camera: Camera, bg: jnp.ndarray):
+        color, buffer, final_T, observe, radii, dropped = smapped(
+            gaussians, camera, bg)
+        return {
+            "color": color[:, :height], "buffer": buffer[:, :height],
+            "final_T": final_T[:height], "observe": observe,
+            "radii": radii, "dropped": dropped,
+        }
+
+    return render_sp

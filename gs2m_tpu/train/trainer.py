@@ -255,6 +255,7 @@ class Trainer:
         self.iteration = 0
         self.history: list[dict] = []
         self.last_densify_info: dict | None = None
+        self.last_trim_seconds: float | None = None
 
         # Sparse neighbor graphs silently zero the multi-view / roughness
         # losses for affected views (the per-view has_nearby gate) — say so
@@ -361,12 +362,16 @@ class Trainer:
 
         if (opt.use_multi_view_trim and it % 1000 == 0
                 and it < opt.densify_until_iter):
+            import time as _time
+            t0 = _time.perf_counter()
             if self._observe_counter is None:
                 self._observe_counter = make_observe_counter(
                     self.scene, self.pipe, self.instance_cap, self.backend)
             counts, drop = self._observe_counter(self.gaussians,
                                                  self.active_sh_degree)
-            if int(drop) > 0:
+            drop = int(drop)  # also the scalar readback that syncs the scan
+            self.last_trim_seconds = _time.perf_counter() - t0
+            if drop > 0:
                 # Overflowed binning makes the counts untrustworthy — grow
                 # the buffer and skip this trim (no silent mass-pruning).
                 self._grow_instance_cap()

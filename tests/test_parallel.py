@@ -173,3 +173,47 @@ def test_trainer_dp_with_densify_cycle(dp_setup):
     # Loss trends down over the run (mean of last 5 < mean of first 5).
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
     assert int(tr.gaussians.num_alive) >= alive0 - 1
+
+
+def test_sp_tile_sharded_render_matches_single_chip():
+    """parallel/sp.py: the 8-band tile-sharded render reproduces the
+    single-device full-frame render — color, aux buffer, final_T and the
+    psum'd per-Gaussian observe counts."""
+    import jax.numpy as jnp
+
+    from gs2m_tpu.ops.projection import project
+    from gs2m_tpu.ops.rasterize import build_features, rasterize_from_projected
+    from gs2m_tpu.parallel.sp import make_sp_render, padded_height
+    from tests.test_golden import make_camera, make_scene
+
+    rng = np.random.default_rng(17)
+    H, W = 128, 64
+    cam = make_camera(width=W, height=H)
+    g = make_scene(rng, n=120, capacity=128, random_pose=True)
+    bg = jnp.array([0.1, 0.2, 0.3])
+
+    proj = project(g, cam, g.max_sh_degree)
+    feats = build_features(g, cam)
+    single = rasterize_from_projected(
+        proj, g.get_opacity[:, 0], feats, bg, cam, feature_count=10,
+        tile=16, chunk=128, instance_cap=2 ** 13, backend="xla")
+
+    D = 8
+    mesh = Mesh(np.array(jax.devices()[:D]), ("sp",))
+    assert padded_height(H, D) == H
+    render_sp = make_sp_render(mesh, H, W, active_sh_degree=g.max_sh_degree,
+                               chunk=128, instance_cap_per_band=2 ** 11,
+                               backend="xla")
+    out = render_sp(g, cam, bg)
+
+    assert int(out["dropped"]) == 0
+    np.testing.assert_allclose(np.asarray(out["color"]),
+                               np.asarray(single.color), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["buffer"]),
+                               np.asarray(single.buffer), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["final_T"]),
+                               np.asarray(single.final_T), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["observe"]),
+                                  np.asarray(single.observe))
+    np.testing.assert_array_equal(np.asarray(out["radii"]),
+                                  np.asarray(single.radii))
