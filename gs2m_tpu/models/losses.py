@@ -129,8 +129,11 @@ def sample_depth_normal(cam_points: jnp.ndarray, cam, depth_map: jnp.ndarray,
     z = cam_points[:, 2]
     valid = ((proj[:, 0] > 0) & (proj[:, 0] < W) & (proj[:, 1] > 0)
              & (proj[:, 1] < H) & (z > 0.1))
-    map_z = sample_pixels(depth_map, proj)[:, 0]
-    map_n = sample_pixels(normal_map, proj)
+    # One 4-channel sample instead of separate depth + normal passes: the
+    # corner gathers dominate multi-view loss cost on TPU (grid_sample.py).
+    zn = sample_pixels(jnp.concatenate([depth_map, normal_map], 0), proj)
+    map_z = zn[:, 0]
+    map_n = zn[:, 1:4]
     map_n = map_n / _safe_norm(map_n, keepdims=True, eps=1e-12)
     return map_z, map_n, valid, proj
 
@@ -229,7 +232,10 @@ def multi_view_loss(cfg, cam, nearest_cam, render_pkg: dict, nearest_pkg: dict,
     re_proj = reproject_points(nearest_cam, cam, pts_in_nearest, map_z)
     pixel_noise = _safe_norm(re_proj - pixels.reshape(-1, 2), axis=-1)
 
-    normals = sample_pixels(render_pkg["normal_map"], pixels.reshape(-1, 2))
+    # The reference samples its own normal map at the IDENTITY pixel grid
+    # (loss_utils.py:308) — bilinear at exact integer coords is the pixel
+    # value itself, so this is a free reshape, not a 480k-tap grid_sample.
+    normals = render_pkg["normal_map"].reshape(3, -1).T
     normals = normals / _safe_norm(normals, keepdims=True, eps=1e-12)
     cos_sim = jnp.sum(normals * map_n, axis=1)
     angle_err = jnp.arccos(jnp.clip(cos_sim, -1 + 1e-6, 1 - 1e-6))

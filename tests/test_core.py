@@ -160,3 +160,46 @@ def test_fused_ssim_valid_padding():
     import pytest
     with pytest.raises(ValueError):
         fused_ssim(a, b, padding="reflect")
+
+
+def test_grid_sample_matches_reference_fwd_and_grads():
+    """The quad-pack/sort-segment grid sampler (custom_vjp) must match the
+    plain-autodiff twin in forward AND both gradients, for border and zeros
+    padding, including out-of-range and exact-integer coordinates."""
+    import jax
+    import jax.numpy as jnp
+
+    from gs2m_tpu.ops.grid_sample import (grid_sample_bilinear,
+                                          grid_sample_bilinear_reference)
+
+    rng = np.random.default_rng(9)
+    C, H, W = 3, 24, 31
+    img = jnp.asarray(rng.normal(size=(C, H, W)).astype(np.float32))
+    n = 500
+    # Mix of interior, border, outside and exact-integer positions.
+    gx = np.concatenate([rng.uniform(-1.3, 1.3, n - 40),
+                         np.linspace(-1, 1, 20),
+                         (2.0 * rng.integers(0, W, 20) / (W - 1) - 1.0)])
+    gy = np.concatenate([rng.uniform(-1.3, 1.3, n - 40),
+                         np.linspace(1, -1, 20),
+                         (2.0 * rng.integers(0, H, 20) / (H - 1) - 1.0)])
+    grid = jnp.asarray(np.stack([gx, gy], -1).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(n, C)).astype(np.float32))
+
+    for mode in ("border", "zeros"):
+        out = grid_sample_bilinear(img, grid, mode)
+        ref = grid_sample_bilinear_reference(img, grid, mode)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-5, err_msg=mode)
+
+        def loss(f, im, gr):
+            return jnp.sum(f(im, gr, mode) * ct)
+
+        g_img, g_grid = jax.grad(lambda im, gr: loss(
+            grid_sample_bilinear, im, gr), argnums=(0, 1))(img, grid)
+        r_img, r_grid = jax.grad(lambda im, gr: loss(
+            grid_sample_bilinear_reference, im, gr), argnums=(0, 1))(img, grid)
+        np.testing.assert_allclose(np.asarray(g_img), np.asarray(r_img),
+                                   atol=1e-5, rtol=1e-4, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(g_grid), np.asarray(r_grid),
+                                   atol=1e-5, rtol=1e-4, err_msg=mode)
