@@ -104,3 +104,72 @@ def make_sp_render(mesh: Mesh, height: int, width: int, *,
         }
 
     return render_sp
+
+
+def make_sp_grad(mesh: Mesh, height: int, width: int, *,
+                 feature_count: int = 10, active_sh_degree: int = 3,
+                 tile: int = 16, chunk: int = 128,
+                 instance_cap_per_band: int = 2 ** 17,
+                 backend: str = "pallas") -> Callable:
+    """Tile-sharded BACKWARD: jitted (params, gaussians, camera, bg, target)
+    -> (loss, per-Gaussian grad pytree), pixel-local photometric L1.
+
+    The SURVEY §2.4 pattern: each chip back-propagates through its own band
+    of the tile grid; per-Gaussian partial gradients are `psum`-reduced over
+    ICI, replicated parameters never move. Pixel-local losses (L1/L2/BCE)
+    shard exactly; window losses (SSIM, sobel) need halo exchange and stay
+    on the DP axis. The `target` image is passed full-frame and sliced per
+    band (replicated-in, local-read)."""
+    (axis,) = mesh.axis_names
+    D = mesh.devices.size
+    Hp = padded_height(height, D, tile)
+    local_h = Hp // D
+    assert instance_cap_per_band % chunk == 0
+
+    def band_loss(params, gaussians, camera, bg, target):
+        import dataclasses
+
+        from gs2m_tpu.ops.rasterize import (build_features,
+                                            rasterize_from_projected)
+
+        d = jax.lax.axis_index(axis)
+        y0 = d * local_h
+        g = gaussians.with_params(params)
+        proj = project(g, camera, active_sh_degree, tile=tile)
+        proj = crop_projected(proj, y0, local_h, tile)
+        feats = build_features(g, camera)
+        local_cam = dataclasses.replace(camera, height=local_h)
+        out = rasterize_from_projected(
+            proj, g.get_opacity[:, 0], feats, bg, local_cam,
+            feature_count=feature_count, tile=tile, chunk=chunk,
+            instance_cap=instance_cap_per_band, backend=backend)
+        # Local band of the (padded) target; rows beyond `height` are masked.
+        tgt = jax.lax.dynamic_slice_in_dim(target, y0, local_h, axis=1)
+        rows = y0 + jnp.arange(local_h)
+        mask = (rows < height).astype(out.color.dtype)[None, :, None]
+        # Sum (not mean) locally; normalize AFTER the psum so the total
+        # equals the single-chip full-frame mean.
+        return jnp.sum(jnp.abs(out.color - tgt) * mask)
+
+    def shard_fn(params, gaussians, camera, bg, target):
+        loss, grads = jax.value_and_grad(band_loss)(params, gaussians, camera,
+                                                    bg, target)
+        denom = 3.0 * height * width
+        loss = jax.lax.psum(loss, axis) / denom
+        grads = jax.tree.map(lambda x: jax.lax.psum(x, axis) / denom, grads)
+        return loss, grads
+
+    smapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def grad_sp(params, gaussians: Gaussians, camera: Camera, bg, target):
+        # Pad the target to the band grid so every device slices in-bounds.
+        pad = Hp - target.shape[1]
+        tgt = jnp.pad(target, ((0, 0), (0, pad), (0, 0)))
+        return smapped(params, gaussians, camera, bg, tgt)
+
+    return grad_sp
