@@ -36,6 +36,9 @@ sys.path.insert(0, REPO)
 
 def run(cmd, **kw):
     print("[run]", " ".join(cmd), flush=True)
+    # -u: stream child progress lines into our log as they happen.
+    if cmd[0] == sys.executable and cmd[1] != "-u":
+        cmd = [cmd[0], "-u", *cmd[1:]]
     subprocess.run(cmd, check=True, cwd=REPO, **kw)
 
 
