@@ -240,8 +240,11 @@ class Trainer:
         n_tiles = ((H0 + pipe.tile - 1) // pipe.tile) * \
             ((W0 + pipe.tile - 1) // pipe.tile)
         want = int(pipe.instance_cap_mult * cap) + n_tiles * pipe.chunk
-        self.instance_cap = max((want // pipe.chunk) * pipe.chunk,
-                                4 * pipe.chunk)
+        # Round up to a compiler-friendly granularity: arbitrary chunk
+        # multiples (odd chunk counts) have stalled remote compiles for
+        # 20+ minutes; power-of-two-ish buffer sizes compile promptly.
+        gran = max(64 * pipe.chunk, 2 ** 13)
+        self.instance_cap = max(-(-want // gran) * gran, 4 * pipe.chunk)
 
         self._steps: dict[tuple, Callable] = {}
         self._observe_counter = None
