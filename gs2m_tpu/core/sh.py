@@ -35,16 +35,53 @@ def num_sh_coeffs(degree: int) -> int:
     return (degree + 1) ** 2
 
 
-def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+import numpy as np
+
+# SH band (degree) of each coefficient index 0..15.
+BAND_OF_COEFF = np.array([0, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3])
+
+
+def _sh_basis(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
+    """[..., (deg+1)^2] SH basis values at unit directions (static deg)."""
+    one = jnp.ones_like(dirs[..., 0])
+    out = [C0 * one]
+    if deg > 0:
+        x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+        out += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            out += [C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+                    C2[3] * xz, C2[4] * (xx - yy)]
+            if deg > 2:
+                out += [C3[0] * y * (3.0 * xx - yy), C3[1] * xy * z,
+                        C3[2] * y * (4.0 * zz - xx - yy),
+                        C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                        C3[4] * x * (4.0 * zz - xx - yy),
+                        C3[5] * z * (xx - yy), C3[6] * x * (xx - 3.0 * yy)]
+    return jnp.stack(out, axis=-1)
+
+
+def eval_sh(deg, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH polynomials.
 
     Args:
-      deg: static int degree in [0, 3].
+      deg: degree in [0, 3]. A static int truncates the polynomial; a TRACED
+        value evaluates every band the array carries and masks bands above
+        `deg` — so the SH-degree warmup schedule (train.py:85) does NOT
+        recompile the train step at each bump (full evaluation is a few
+        extra VPU ops; a recompile through a remote runtime is minutes).
       sh: [..., K, C] coefficients with K >= (deg+1)^2 (extra coeffs ignored).
       dirs: [..., 3] unit view directions.
 
     Returns: [..., C] raw SH radiance (no +0.5 offset, no clamp).
     """
+    if not isinstance(deg, (int, np.integer)):
+        K = sh.shape[-2]
+        full_deg = int(round(np.sqrt(K))) - 1
+        basis = _sh_basis(full_deg, dirs)                 # [..., K]
+        mask = (jnp.asarray(BAND_OF_COEFF[:K]) <= deg).astype(sh.dtype)
+        return jnp.sum((basis * mask)[..., None] * sh[..., :K, :], axis=-2)
     assert 0 <= deg <= 3
     result = C0 * sh[..., 0, :]
     if deg > 0:

@@ -123,6 +123,8 @@ def render_normal_from_depth_map(camera: Camera, depth: jnp.ndarray,
 
 
 # Convenience jitted wrapper: the stage/backend/shape arguments are static.
+# active_sh_degree stays traced (core/sh.py masks bands above it) so
+# SH-degree changes never recompile.
 render_jit = partial(jax.jit, static_argnames=(
-    "active_sh_degree", "geometry_stage", "material_stage", "sobel_normal",
+    "geometry_stage", "material_stage", "sobel_normal",
     "blend_metallic", "z_depth", "backend", "tile", "chunk", "instance_cap"))(render)

@@ -109,7 +109,9 @@ def make_dp_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
 
     import functools
 
-    @partial(jax.jit, static_argnames=("active_sh_degree",))
+    # active_sh_degree is TRACED (core/sh.py masks bands), so the per-1000-
+    # iter SH warmup bumps do NOT recompile — remote compiles cost minutes.
+    @jax.jit
     def step(gaussians: Gaussians, opt_state: AdamState, stats: D.DensifyStats,
              gt_images, alpha_masks, gray_images, light_state,
              view_idx, keys, iteration, active_sh_degree: int):

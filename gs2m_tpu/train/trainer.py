@@ -134,7 +134,9 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
 
     # NOTE: no donate_argnums — buffer donation through the axon remote
     # runtime produced intermittent garbage (stale reads) in round-1 testing.
-    @partial(jax.jit, static_argnames=("active_sh_degree",))
+    # active_sh_degree is TRACED (core/sh.py masks bands), so the per-1000-
+    # iter SH warmup bumps do NOT recompile — remote compiles cost minutes.
+    @jax.jit
     def step(gaussians: Gaussians, opt_state: AdamState, stats: D.DensifyStats,
              gt_images, alpha_masks, gray_images, light_state,
              view_idx, key, iteration, active_sh_degree: int):
@@ -182,7 +184,9 @@ def make_observe_counter(scene: Scene, pipe: PipelineConfig, instance_cap: int,
     render_kw = dict(backend=backend, tile=pipe.tile, chunk=pipe.chunk,
                      instance_cap=instance_cap)
 
-    @partial(jax.jit, static_argnames=("active_sh_degree",))
+    # active_sh_degree is TRACED (core/sh.py masks bands), so the per-1000-
+    # iter SH warmup bumps do NOT recompile — remote compiles cost minutes.
+    @jax.jit
     def count(gaussians: Gaussians, active_sh_degree: int):
         def body(carry, v):
             counts, drop = carry

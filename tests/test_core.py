@@ -203,3 +203,27 @@ def test_grid_sample_matches_reference_fwd_and_grads():
                                    atol=1e-5, rtol=1e-4, err_msg=mode)
         np.testing.assert_allclose(np.asarray(g_grid), np.asarray(r_grid),
                                    atol=1e-5, rtol=1e-4, err_msg=mode)
+
+
+def test_eval_sh_traced_degree_matches_static():
+    """A TRACED sh degree (band masking, no recompile per bump) must equal
+    the statically truncated polynomial for every degree."""
+    import jax
+    import jax.numpy as jnp
+
+    from gs2m_tpu.core.sh import eval_sh
+
+    rng = np.random.default_rng(2)
+    sh = jnp.asarray(rng.normal(size=(64, 16, 3)).astype(np.float32))
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=1, keepdims=True))
+
+    traced = jax.jit(eval_sh)  # deg becomes a traced scalar
+    compiled_count = 0
+    for deg in range(4):
+        want = eval_sh(deg, sh, dirs)           # static truncation
+        got = traced(jnp.int32(deg), sh, dirs)  # masked full evaluation
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6, rtol=1e-5, err_msg=str(deg))
+    # One compilation serves all degrees.
+    assert traced._cache_size() == 1
