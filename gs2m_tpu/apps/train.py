@@ -122,6 +122,14 @@ def main(argv=None):
             if not np.isfinite(loss):
                 print(f"[!] non-finite loss at iteration {it} — "
                       "model state is likely corrupted", flush=True)
+            # Param-health watchdog: corrupt params can render as pure
+            # background (finite loss!) because culling drops non-finite
+            # geometry — check the leaves themselves, name the first victim.
+            for name, leaf in trainer.gaussians.params_dict().items():
+                if not bool(jnp.isfinite(leaf).all()):
+                    print(f"[!] non-finite values in param '{name}' at "
+                          f"iteration {it}", flush=True)
+                    break
 
         if it % 100 == 0 and not args.quiet:
             alive = int(trainer.gaussians.num_alive)

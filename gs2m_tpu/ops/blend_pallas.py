@@ -72,10 +72,14 @@ def _chunk_alpha_kernel(g8, px, py, width: int, height: int):
     op = gt[:, 5:6]
     dx = mx - px          # (chunk, P)
     dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    power_raw = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    # Clamp before exp: power > 0 lanes are gated (on the RAW value), but
+    # their exp would be inf and ride into the backward's G * dalpha
+    # products as inf * 0 = NaN.
+    power = jnp.minimum(power_raw, 0.0)
     alpha = jnp.minimum(0.99, op * jnp.exp(power))
     inside = (px < width) & (py < height)
-    gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & inside
+    gate = (power_raw <= 0.0) & (alpha >= ALPHA_MIN) & inside
     return jnp.where(gate, alpha, 0.0), dx, dy, power
 
 

@@ -48,7 +48,10 @@ def _chunk_alpha(means2d_c, conics_c, opac_c, pix_x, pix_y, inside):
     b = conics_c[:, 1:2]
     c = conics_c[:, 2:3]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha = jnp.minimum(0.99, opac_c[:, None] * jnp.exp(power))
+    # exp(min(power, 0)): power > 0 lanes are gated off below, but exp(+big)
+    # is inf and masked-lane vjps turn 0-cotangent * inf into NaN (CLAUDE.md
+    # masked-lane rule; a degenerate conic NaN'd opacity grads in training).
+    alpha = jnp.minimum(0.99, opac_c[:, None] * jnp.exp(jnp.minimum(power, 0.0)))
     gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & inside[None, :]
     return jnp.where(gate, alpha, 0.0)
 

@@ -78,7 +78,8 @@ def golden_rasterize(
         dx = m2d[0] - px
         dy = m2d[1] - py
         power = -0.5 * (con[0] * dx * dx + con[2] * dy * dy) - con[1] * dx * dy
-        alpha = jnp.minimum(0.99, opa * jnp.exp(power))
+        # min before exp keeps masked-lane vjps finite (see blend_xla).
+        alpha = jnp.minimum(0.99, opa * jnp.exp(jnp.minimum(power, 0.0)))
 
         gate = valid[g] & in_rect & (power <= 0.0) & (alpha >= 1.0 / 255.0) & (~done)
         test_T = T * (1.0 - alpha)

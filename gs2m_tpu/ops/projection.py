@@ -149,7 +149,14 @@ def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
     cov3d = compute_cov3d(gaussians, scale_modifier)
     cov = compute_cov2d(xyz, cov3d, camera)
     det = cov[:, 0] * cov[:, 2] - cov[:, 1] * cov[:, 1]
-    det_ok = det != 0.0
+    # STRICTLY positive det: cov2d is PSD in exact math, but razor-thin
+    # splats (the plane loss drives log-scales to -20+) round to det < 0,
+    # flipping the conic indefinite — Mahalanobis power then goes +inf at
+    # some pixels and the blend backward's gated inf*0 products NaN the
+    # opacity gradients (found as a global opacity-NaN collapse mid-run).
+    # The reference tolerates det<0 only because its scalar per-pixel loop
+    # `continue`s before touching the inf (forward.cu:324-330).
+    det_ok = det > 0.0
     det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
     conic = jnp.stack([cov[:, 2] * det_inv, -cov[:, 1] * det_inv, cov[:, 0] * det_inv], -1)
 

@@ -355,6 +355,7 @@ class Trainer:
         opt = self.opt
         if it <= opt.densify_until_iter:
             if it > opt.densify_from_iter and it % opt.densification_interval == 0:
+                self._heal_nonfinite_rows(it)
                 self._maybe_grow()
                 self.key, sub = jax.random.split(self.key)
                 use_radii = it > opt.opacity_reset_interval
@@ -416,6 +417,26 @@ class Trainer:
         self.instance_cap = min(self.instance_cap * 2, self.MAX_INSTANCE_CAP)
         self._steps.clear()
         self._observe_counter = None
+
+    def _heal_nonfinite_rows(self, it: int):
+        """Prune rows with non-finite parameters instead of letting them
+        poison densification copies. Corrupt rows can render as harmless
+        background (the cull drops non-finite geometry), so a whole run can
+        silently decay — prune loudly and keep training. One fused reduce
+        per check; only the densify cadence pays it."""
+        g = self.gaussians
+        bad = ~(jnp.isfinite(g.xyz).all(-1)
+                & jnp.isfinite(g.opacity).all(-1)
+                & jnp.isfinite(g.scaling).all(-1)
+                & jnp.isfinite(g.rotation).all(-1)
+                & jnp.isfinite(g.features_dc).all((-2, -1))) & g.alive
+        n_bad = int(jnp.sum(bad))
+        if n_bad:
+            print(f"[trainer] WARNING: pruning {n_bad} rows with non-finite "
+                  f"parameters at iteration {it} — investigate the gradient "
+                  f"path if this recurs", flush=True)
+            self.gaussians, self.opt_state, self.stats = D.prune_rows(
+                self.gaussians, self.opt_state, self.stats, bad)
 
     def _maybe_grow(self):
         """Grow capacity when free slots drop below 1/8th (powers of two)."""

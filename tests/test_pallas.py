@@ -193,3 +193,41 @@ def test_pallas_grads_with_cull_match_xla():
         scale = np.abs(b).max() + 1e-10
         np.testing.assert_allclose(a, b, atol=1e-5 * scale, rtol=1e-4,
                                    err_msg=name)
+
+
+def test_degenerate_conic_keeps_grads_finite():
+    """Razor-thin splats round det(cov2d) negative -> indefinite conic ->
+    power > 0 at some pixels. The gated lanes must NOT leak inf into the
+    backward (inf * 0 = NaN killed opacity grads in a real training run);
+    projection also culls det <= 0 outright."""
+    from gs2m_tpu.core.gaussians import Gaussians
+    from gs2m_tpu.models.render import render
+
+    rng = np.random.default_rng(41)
+    n, cap = 60, 64
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    g = Gaussians.create(pts, cols, max_sh_degree=1, capacity=cap)
+    import dataclasses
+    # Degenerate: one axis at exp(-24) (the plane loss drives this),
+    # mimicking the failure scene.
+    sc = np.array(g.scaling)
+    sc[:, 2] = -24.0
+    sc[: n // 2, 1] = -24.0  # some doubly-degenerate
+    g = dataclasses.replace(g, scaling=jnp.asarray(sc))
+
+    from tests.test_golden import make_camera
+    cam = make_camera(width=64, height=48)
+    target = jnp.zeros((3, 48, 64))
+
+    for backend in ("pallas", "xla"):
+        def loss(params):
+            pkg = render(g.with_params(params), cam, jnp.zeros(3), 1,
+                         geometry_stage=True, backend=backend, chunk=CHUNK,
+                         instance_cap=2 ** 13)
+            return (jnp.mean(jnp.abs(pkg["render"] - target))
+                    + jnp.mean(jnp.abs(pkg["normal_map"])))
+
+        grads = jax.grad(loss)(g.params_dict())
+        for k, v in grads.items():
+            assert np.isfinite(np.asarray(v)).all(), f"{backend}/{k}"
