@@ -187,3 +187,35 @@ def test_training_converges_on_synthetic(tmp_path):
     trainer.save_snapshot(opt.iterations)
     import os
     assert os.path.exists(tmp_path / "out/point_cloud/iteration_300/point_cloud.ply")
+
+
+def test_trainer_heals_nonfinite_rows():
+    """Rows whose params go non-finite are pruned at the densify boundary
+    instead of poisoning child copies (the silent-collapse guard)."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from gs2m_tpu.train.trainer import Trainer
+
+    mc, pipe, opt, scene, g = ge._tiny_scene()
+    opt = dataclasses.replace(opt, iterations=10, densify_from_iter=2,
+                              densification_interval=5, densify_until_iter=50,
+                              geometry_from_iter=100,
+                              use_multi_view_trim=False)
+    tr = Trainer(mc, pipe, opt, scene)
+    for _ in range(4):
+        tr.train_step()
+    alive_before = int(tr.gaussians.num_alive)
+
+    # Corrupt three rows' opacity.
+    op = np.array(tr.gaussians.opacity)
+    alive_idx = np.nonzero(np.asarray(tr.gaussians.alive))[0][:3]
+    op[alive_idx] = np.nan
+    tr.gaussians = dataclasses.replace(tr.gaussians, opacity=jnp.asarray(op))
+
+    tr.train_step()  # iteration 5 -> maintenance heals (freed slots may be
+    # immediately recycled for densify children — which is the point: the
+    # corrupt VALUES are gone, the slots live on).
+    alive = np.asarray(tr.gaussians.alive)
+    assert np.isfinite(np.array(tr.gaussians.opacity)[alive]).all()
+    assert np.isfinite(np.array(tr.gaussians.xyz)[alive]).all()
