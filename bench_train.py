@@ -87,9 +87,18 @@ def main(argv=None):
     # Skip straight into the geometry stage at full SH.
     trainer.active_sh_degree = mc.sh_degree
 
-    # Warmup: compile + let any overflow-driven instance-cap growth settle.
+    # Warmup: compile + let any overflow-driven instance-cap growth settle
+    # (the trainer only checks its drop window at 100-iter boundaries; a
+    # bench must not time a dropping configuration).
     for _ in range(3):
         m = trainer.train_step()
+    for _ in range(6):
+        if int(m["dropped"]) == 0:
+            break
+        trainer._grow_instance_cap()
+        m = trainer.train_step()
+    dropped = int(m["dropped"])
+    assert dropped == 0, f"instance cap still dropping after growth: {dropped}"
     float(m["loss"])  # scalar readback: full sync through remote runtimes
 
     t0 = time.perf_counter()
@@ -106,6 +115,7 @@ def main(argv=None):
         "gaussians": args.gaussians,
         "resolution": f"{args.width}x{args.height}",
         "instance_cap": trainer.instance_cap,
+        "dropped": int(m["dropped"]),
         "projected_30k_min": round(30_000 * dt / 60.0, 1),
     }))
 

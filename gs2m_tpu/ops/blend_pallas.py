@@ -93,8 +93,13 @@ def _cumsum0(x):
     """Inclusive prefix sum along the sublane axis as ONE MXU matmul with a
     lower-triangular ones matrix (Mosaic has no native cumsum; log-step
     rolls cost ~16 VPU passes — the 256^3 f32 matmul is far cheaper)."""
+    # precision=HIGHEST pinned explicitly: measured identical speed AND
+    # results on v5e (Mosaic already emits full-precision f32 here), but the
+    # package's correctness depends on it (bf16 compositing would break the
+    # SSIM-boundedness guarantee), so don't leave it to a default.
     return jnp.dot(_tril_ones(x.shape[0]), x,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _compose(alpha, logT0, done0):
@@ -145,7 +150,8 @@ def _fwd_kernel(chunk_tile_ref,            # scalar prefetch (n_chunks,)
         w, logT_excl, contribute, logT_end, done_end = _compose(
             alpha, logT_s[...], done_s[...])
         img_ref[0] += jnp.dot(vals_ref[...], w,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
         obs_ref[0] = jnp.sum(
             (contribute & (logT_excl > LOG_HALF)).astype(jnp.int32),
             axis=1)[None, :]
@@ -249,7 +255,8 @@ def _bwd_kernel(chunk_tile_ref,             # scalar prefetch (n_chunks,)
 
         g = g_img_ref[0]                      # (16, P) cotangent for this tile
         # u_j,p = g . v_j  -> (chunk, P) via MXU.
-        u = jnp.dot(vals_ref[...].T, g, preferred_element_type=jnp.float32)
+        u = jnp.dot(vals_ref[...].T, g, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
         wu = w * u
         # Suffix AFTER j within this chunk: S_s + sum_{k>j} w_k u_k
@@ -262,7 +269,8 @@ def _bwd_kernel(chunk_tile_ref,             # scalar prefetch (n_chunks,)
                            T_excl * u - S_after / (1.0 - alpha), 0.0)
 
         # dvals (chunk, 16) = W @ g^T; store transposed into (16, chunk).
-        dvals = jnp.dot(w, g.T, preferred_element_type=jnp.float32)
+        dvals = jnp.dot(w, g.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         dvals_ref[...] = dvals.T
 
         # Chain through alpha = opacity * exp(power) (clamp/gates -> w==0

@@ -115,6 +115,13 @@ def make_dp_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
     def step(gaussians: Gaussians, opt_state: AdamState, stats: D.DensifyStats,
              gt_images, alpha_masks, gray_images, light_state,
              view_idx, keys, iteration, active_sh_degree: int):
+        # Accept either a per-view key batch (D, 2) or ONE base key to be
+        # fold_in(iteration)-derived and split on device (the trainer path —
+        # host-side splits cost a dispatch round-trip per step).
+        if keys.ndim == 1:
+            D_dev = mesh.devices.size
+            keys = jax.random.split(
+                jax.random.fold_in(keys, iteration), D_dev)
         smapped = jax.shard_map(
             functools.partial(sharded_grads, active_sh_degree), mesh=mesh,
             in_specs=(rep, rep, rep, rep, rep, shard, shard),

@@ -141,6 +141,9 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
              gt_images, alpha_masks, gray_images, light_state,
              view_idx, key, iteration, active_sh_degree: int):
         C = gaussians.capacity
+        # `key` is the trainer's BASE key; derive this step's key on device
+        # (host-side splits cost a dispatch round-trip per step).
+        key = jax.random.fold_in(key, iteration)
 
         def loss_fn(params, sink, abs_sink, light_params):
             return objective(gaussians, params, sink, abs_sink, light_params,
@@ -315,14 +318,16 @@ class Trainer:
 
         geometry_stage, material_stage = self._stage_flags(it)
         step = self._get_step(geometry_stage, material_stage)
+        # Per-step randomness: the BASE key goes in and the step fold_ins the
+        # iteration on device — a host-side jax.random.split here is its own
+        # tiny dispatch costing ~15 ms of round-trip latency per call through
+        # remote runtimes (profiled), and it changes the key buffer every
+        # step (re-upload).
+        sub = self.key
         if self.mesh is not None:
-            # One view per device; D distinct PRNG keys (one per view).
             view_idx = jnp.asarray(
                 [self._next_view() for _ in range(self.n_devices)], jnp.int32)
-            self.key, *subs = jax.random.split(self.key, self.n_devices + 1)
-            sub = jnp.stack(subs)
         else:
-            self.key, sub = jax.random.split(self.key)
             view_idx = jnp.int32(self._next_view())
 
         (self.gaussians, self.opt_state, self.stats, light_grad,
