@@ -23,7 +23,8 @@ import time
 import numpy as np
 
 
-def build_scene(n_views, width, height, n_points, seed=0):
+def build_scene(n_views, width, height, n_points, seed=0,
+                point_scale=None):
     import jax.numpy as jnp
 
     from gs2m_tpu.core.config import ModelConfig, OptimConfig, PipelineConfig
@@ -38,6 +39,8 @@ def build_scene(n_views, width, height, n_points, seed=0):
         rng.uniform(-1.0, 1.0, n_points),
     ], -1).astype(np.float32)
     cols = rng.uniform(0.1, 0.9, (n_points, 3)).astype(np.float32)
+    msd = (np.full(n_points, point_scale ** 2, np.float32)
+           if point_scale else None)
 
     infos = []
     fx = 1.1 * width
@@ -73,6 +76,11 @@ def main(argv=None):
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--preset", default="steady", choices=["steady", "early"],
+                    help="steady: converged-size splats (~3 instances/"
+                         "Gaussian, the 30k-run steady state); early: "
+                         "knn-initialized splats (~10 instances/Gaussian, "
+                         "the heavy post-SfM phase)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -84,6 +92,33 @@ def main(argv=None):
     cap = 1 << max(int(np.ceil(np.log2(args.gaussians * 1.2))), 10)
     trainer = Trainer(mc, pipe, opt, scene, capacity=cap,
                       backend=args.backend)
+    if args.preset == "steady":
+        # Converged-size splats: log-scale of ~1.5x the mean inter-point
+        # spacing of this cloud density.
+        import dataclasses
+        import jax.numpy as jnp
+        sc = jnp.full_like(trainer.gaussians.scaling, float(np.log(0.02)))
+        trainer.gaussians = dataclasses.replace(trainer.gaussians, scaling=sc)
+
+    # Presize the instance buffer from a measured probe (knn-initialized
+    # clouds at this density need ~3M instances/view at 800x600; relying on
+    # overflow growth mid-bench costs slow recompiles AND a 45%-dropped
+    # workload would flatter the timing).
+    from gs2m_tpu.core.gaussians import Gaussians
+    from gs2m_tpu.ops.binning import bin_gaussians
+    from gs2m_tpu.ops.projection import project
+    g0 = trainer.gaussians
+    worst = 0
+    for cam in scene.train_cameras:  # compiled once, fast per-view evals
+        proj = project(g0, cam, mc.sh_degree)
+        probe = bin_gaussians(proj, args.height, args.width, pipe.tile,
+                              2 ** 22, pipe.chunk,
+                              opacities=g0.get_opacity[:, 0])
+        worst = max(worst, int(probe.num_aligned) + int(probe.dropped))
+    want = int(worst * 1.1)
+    trainer.instance_cap = max(-(-want // 2 ** 17) * 2 ** 17, 2 ** 17)
+    print(f"# worst-view aligned {worst} -> instance_cap "
+          f"{trainer.instance_cap}", flush=True)
     # Skip straight into the geometry stage at full SH.
     trainer.active_sh_degree = mc.sh_degree
 
@@ -95,7 +130,7 @@ def main(argv=None):
     for _ in range(6):
         if int(m["dropped"]) == 0:
             break
-        trainer._grow_instance_cap()
+        trainer._grow_instance_cap(dropped=int(m["dropped"]))
         m = trainer.train_step()
     dropped = int(m["dropped"])
     assert dropped == 0, f"instance cap still dropping after growth: {dropped}"
@@ -113,6 +148,7 @@ def main(argv=None):
         "unit": "it/s",
         "step_ms": round(dt * 1e3, 1),
         "gaussians": args.gaussians,
+        "preset": args.preset,
         "resolution": f"{args.width}x{args.height}",
         "instance_cap": trainer.instance_cap,
         "dropped": int(m["dropped"]),

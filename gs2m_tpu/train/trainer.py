@@ -349,8 +349,9 @@ class Trainer:
         self._dropped_window = jnp.maximum(self._dropped_window,
                                            metrics["dropped"])
         if it % 100 == 0:
-            if int(self._dropped_window) > 0:
-                self._grow_instance_cap()
+            dw = int(self._dropped_window)
+            if dw > 0:
+                self._grow_instance_cap(dropped=dw)
             self._dropped_window = jnp.int32(0)
 
         self._maintenance(it)
@@ -412,14 +413,24 @@ class Trainer:
     # reported per step) rather than crash, but say so loudly.
     MAX_INSTANCE_CAP = 2 ** 26
 
-    def _grow_instance_cap(self):
+    def _grow_instance_cap(self, dropped: int | None = None):
+        """Resize the instance buffer after overflow. With a measured drop
+        count, grow to demand + 15% (rounded to compiler-friendly 2^17);
+        doubling overshoots transients and every extra 2^17 slots costs
+        every downstream sort/gather/kernel."""
         if self.instance_cap >= self.MAX_INSTANCE_CAP:
             print(f"[trainer] WARNING: binning overflow at the maximum "
                   f"instance cap ({self.instance_cap}); instances will be "
                   f"dropped (farthest-in-depth last) — consider lowering "
                   f"resolution or pruning harder", flush=True)
             return
-        self.instance_cap = min(self.instance_cap * 2, self.MAX_INSTANCE_CAP)
+        if dropped:
+            want = int((self.instance_cap + int(dropped)) * 1.15)
+            new_cap = -(-want // 2 ** 17) * 2 ** 17
+        else:
+            new_cap = self.instance_cap * 2
+        self.instance_cap = min(max(new_cap, self.instance_cap + 2 ** 17),
+                                self.MAX_INSTANCE_CAP)
         self._steps.clear()
         self._observe_counter = None
 
