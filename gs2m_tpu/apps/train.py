@@ -69,7 +69,24 @@ def main(argv=None):
     save_cfg_args(model_cfg.model_path, model_cfg, pipe, opt)
 
     print(f"[>] Loading scene: {model_cfg.source_path}")
-    scene = Scene(model_cfg, opt)
+    multi_host = args.distributed and jax.process_count() > 1
+    if multi_host:
+        # Per-host input pipeline (SURVEY §2.4): build the neighbor graph
+        # first, then read only this host's view partition + its neighbor
+        # closure from disk (parallel/dp.py partition_views).
+        from gs2m_tpu.parallel.dp import host_view_closure, partition_views
+        scene = Scene(model_cfg, load_images=False)
+        scene.training_setup(opt)
+        local = partition_views(len(scene.train_cameras),
+                                jax.process_index(), jax.process_count())
+        closure = host_view_closure(local, scene.nearest_table,
+                                    scene.nearest_mask, scene.nearby_table,
+                                    scene.nearby_mask)
+        scene.load_train_image_subset(closure)
+        print(f"[>] host {jax.process_index()}/{jax.process_count()}: "
+              f"{len(local)} local views, {len(closure)} images loaded")
+    else:
+        scene = Scene(model_cfg, opt)
     print(f"[>] {len(scene.train_cameras)} train / {len(scene.test_cameras)} "
           f"test views at {scene.train_cameras[0].width}x"
           f"{scene.train_cameras[0].height}; extent {scene.cameras_extent:.3f}")
@@ -138,7 +155,9 @@ def main(argv=None):
                   f"Lgeo {float(metrics['Lgeo']):.5f} points {alive} "
                   f"({it / dt:.1f} it/s)", flush=True)
             rec = {"iteration": it, "loss": ema, "points": alive,
-                   "elapsed_s": dt, "dropped": int(metrics["dropped"])}
+                   "elapsed_s": dt, "dropped": int(metrics["dropped"]),
+                   "mv_active": int(trainer.mv_active_count),
+                   "rough_active": int(trainer.rough_active_count)}
             if trainer.last_trim_seconds is not None:
                 rec["trim_s"] = round(trainer.last_trim_seconds, 2)
             log_file.write(json.dumps(rec) + "\n")

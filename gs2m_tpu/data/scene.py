@@ -160,9 +160,21 @@ class Scene:
         return Camera.create(ci.R, ci.T, fovx=focal2fov(ci.fx, ci.width),
                              fovy=focal2fov(ci.fy, ci.height), width=w, height=h)
 
-    def _load_train_images(self):
+    def _load_train_images(self, subset=None):
+        """Fill the (V, C, H, W) GT stacks. With `subset` (multi-host DP:
+        parallel/dp.py partition_views + host_view_closure), only those view
+        indices are READ from disk; other rows stay zero. The device arrays
+        keep the full V extent — indices stay global and the replicated-array
+        contract holds shape-wise — but a host only pays decode/IO for its
+        own views (rows it never indexes are never read by its devices)."""
+        keep = None if subset is None else set(int(v) for v in subset)
         rgbs, alphas = [], []
-        for ci, cam in zip(self.train_camera_infos, self.train_cameras):
+        for i, (ci, cam) in enumerate(zip(self.train_camera_infos,
+                                          self.train_cameras)):
+            if keep is not None and i not in keep:
+                rgbs.append(np.zeros((3, cam.height, cam.width), np.float32))
+                alphas.append(np.ones((1, cam.height, cam.width), np.float32))
+                continue
             rgb, alpha = load_view_arrays(ci, (cam.width, cam.height),
                                           self.model_cfg.mask_gt)
             if self.model_cfg.white_background and alpha is not None:
@@ -172,6 +184,12 @@ class Scene:
                           else np.ones_like(rgb[:1]))
         self.gt_images = jnp.asarray(np.stack(rgbs, 0))       # (V, 3, H, W)
         self.alpha_masks = jnp.asarray(np.stack(alphas, 0))   # (V, 1, H, W)
+
+    def load_train_image_subset(self, subset):
+        """Multi-host path: load GT images for `subset` only (after
+        training_setup built the neighbor tables), then derive gray images."""
+        self._load_train_images(subset=subset)
+        self._populate_gray_images(subset=subset)
 
     def load_test_images(self) -> list:
         """GT images for the held-out split, loaded lazily on first use
@@ -212,15 +230,21 @@ class Scene:
 
         self.camera_stack = stack_cameras(self.train_cameras)
 
-    def _populate_gray_images(self):
-        """Per-view luma at NCC scale (scene/__init__.py:193-204)."""
+    def _populate_gray_images(self, subset=None):
+        """Per-view luma at NCC scale (scene/__init__.py:193-204). With
+        `subset` (multi-host), only those views are re-read at NCC scale."""
+        keep = None if subset is None else set(int(v) for v in subset)
         if self.ncc_scale == 1.0:
             rgb = self.gt_images
         else:
             rgbs = []
-            for ci, cam in zip(self.train_camera_infos, self.train_cameras):
+            for i, (ci, cam) in enumerate(zip(self.train_camera_infos,
+                                              self.train_cameras)):
                 res = (int(cam.width / self.ncc_scale),
                        int(cam.height / self.ncc_scale))
+                if keep is not None and i not in keep:
+                    rgbs.append(np.zeros((3, res[1], res[0]), np.float32))
+                    continue
                 r, a = load_view_arrays(ci, res, self.model_cfg.mask_gt)
                 if self.model_cfg.white_background and a is not None:
                     r = r * a + (1.0 - a)

@@ -41,6 +41,39 @@ from gs2m_tpu.train.optim import AdamState, adam_update, group_lrs, xyz_lr_sched
 from gs2m_tpu.train.trainer import make_view_objective
 
 
+def partition_views(n_views: int, process_index: int,
+                    process_count: int) -> np.ndarray:
+    """The multi-host input partition: which TRAIN views this host feeds its
+    local devices (SURVEY §2.4 — each host loads its own view subset).
+
+    Strided assignment (host h gets views h, h+P, h+2P, ...): balanced to
+    within one view for any V, and interleaved so each host's subset spans
+    the whole camera ring rather than one arc (a contiguous split would give
+    each host spatially-clustered views and bias its gradient batches)."""
+    import numpy as np
+    assert 0 <= process_index < process_count
+    return np.arange(process_index, n_views, process_count, dtype=np.int64)
+
+
+def host_view_closure(local_views, nearest_table, nearest_mask,
+                      nearby_table, nearby_mask) -> np.ndarray:
+    """All view indices whose image data this host must load: its own views
+    plus every valid neighbor they can sample — the multi-view loss reads the
+    NEAREST neighbor's gray image and the roughness loss a NEARBY one
+    (train/trainer.py view_objective), so the closure is local ∪ neighbors;
+    the host reads its GT/gray stacks at exactly these indices
+    (Scene.load_train_image_subset)."""
+    import numpy as np
+    local_views = np.asarray(local_views)
+    need = set(int(v) for v in local_views)
+    for v in local_views:
+        need.update(int(x) for x in np.asarray(nearest_table)[v][
+            np.asarray(nearest_mask)[v]])
+        need.update(int(x) for x in np.asarray(nearby_table)[v][
+            np.asarray(nearby_mask)[v]])
+    return np.array(sorted(need), dtype=np.int64)
+
+
 def make_dp_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
                        opt: OptimConfig, scene: Scene, instance_cap: int,
                        geometry_stage: bool, material_stage: bool,
@@ -105,6 +138,12 @@ def make_dp_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
         metrics = mean({"loss": loss, "Lrgb": aux["Lrgb"], "Lgeo": aux["Lgeo"],
                         "Lmat": aux["Lmat"]})
         metrics["dropped"] = jax.lax.psum(aux["dropped"], "data")
+        # Activity counters sum over the D views of this batch (each view is
+        # one reference-equivalent step).
+        metrics["mv_active"] = jax.lax.psum(
+            aux["mv_active"].astype(jnp.int32), "data")
+        metrics["rough_active"] = jax.lax.psum(
+            aux["rough_active"].astype(jnp.int32), "data")
         return (mean(param_grads), mean(light_grad), stat_upd, radmax, metrics)
 
     import functools

@@ -104,21 +104,32 @@ def make_pbr_fns(base_res: int = 512, seed: int = 0) -> dict:
                                             weight_map=weight_normal)
 
         # Roughness-from-reflection: nearby view rendered WITHOUT gradients
-        # (train.py:186, loss_utils.py:147).
+        # (train.py:186, loss_utils.py:147). The whole neighbor render +
+        # NCC machinery sits under a lax.cond on has_nearby: views with an
+        # empty nearby set skip the render at RUNTIME instead of rendering
+        # camera 0 and masking the result away (both branches compile once,
+        # only the taken one runs; lax.cond differentiates the taken branch,
+        # so the roughness-map gradient path through `pkg` is preserved).
         k_nb, k_r = jax.random.split(key)
-        view_idx = 0  # unused fallback handled by mask below
+        view_idx = 0  # unused fallback handled by the cond below
         nearby_idx, has_nearby = _choose_neighbor(k_nb, nearby_row,
                                                   nearby_mask_row, view_idx)
         nearby_cam = index_camera(camera_stack, nearby_idx)
-        npkg = render_fn(jax.lax.stop_gradient(g), nearby_cam, jnp.zeros(3),
-                         active_sh_degree, geometry_stage=True, **render_kw)
-        npkg = jax.tree.map(jax.lax.stop_gradient, npkg)
         gray_nea = gray_images[nearby_idx]
-        Lr = L.roughness_loss(opt, cam, nearby_cam, pkg, npkg, gray_ref,
-                              gray_nea, k_r, ncc_scale)
-        Lr = jnp.where(has_nearby, Lr, 0.0)
 
-        return Lpbr + Lsm + Ltv + opt.lambda_rough * Lr
+        def roughness_branch(_):
+            npkg = render_fn(jax.lax.stop_gradient(g), nearby_cam,
+                             jnp.zeros(3), active_sh_degree,
+                             geometry_stage=True, **render_kw)
+            npkg = jax.tree.map(jax.lax.stop_gradient, npkg)
+            return L.roughness_loss(opt, cam, nearby_cam, pkg, npkg,
+                                    gray_ref, gray_nea, k_r, ncc_scale)
+
+        Lr = jax.lax.cond(has_nearby, roughness_branch,
+                          lambda _: jnp.float32(0.0), None)
+
+        Lmat = Lpbr + Lsm + Ltv + opt.lambda_rough * Lr
+        return Lmat, {"rough_active": has_nearby}
 
     return {"init_light": init_light, "light_update": light_update,
             "material_losses": material_losses, "brdf_lut": brdf_lut}
