@@ -64,9 +64,52 @@ def render_views(model_cfg, pipe, args, scene, gaussians, light_state, split,
     backend = "pallas" if pipe.use_pallas else "xla"
     instance_cap = max(int(8 * gaussians.capacity) // pipe.chunk * pipe.chunk,
                        4 * pipe.chunk)
+    need_sobel = args.filter_depth or args.normal_sobel
 
-    for i, (cam, info) in enumerate(zip(cameras, camera_infos)):
-        need_sobel = args.filter_depth or args.normal_sobel
+    # --spatial N: tile-sharded rendering over an N-device "sp" mesh
+    # (parallel/sp.py) — each device rasterizes a horizontal band, the
+    # derived maps come from the identical shared post-pass. The natural
+    # axis for eval sweeps / mesh-extraction renders at full resolution
+    # (training parallelism stays on the DP axis — see README).
+    spatial = max(int(getattr(args, "spatial", 0) or 0), 0)
+    cap_band = instance_cap
+
+    def make_sp(cap):
+        import jax
+        from jax.sharding import Mesh
+
+        from gs2m_tpu.models.render import feature_count_for
+        from gs2m_tpu.parallel.sp import make_sp_render
+        devs = np.array(jax.devices()[:spatial])
+        assert devs.size == spatial, \
+            f"--spatial {spatial} needs {spatial} devices, have {devs.size}"
+        mesh = Mesh(devs, ("sp",))
+        return make_sp_render(
+            mesh, cameras[0].height, cameras[0].width,
+            feature_count=feature_count_for(True, True, model_cfg.metallic),
+            active_sh_degree=gaussians.max_sh_degree, tile=pipe.tile,
+            chunk=pipe.chunk, instance_cap_per_band=cap, backend=backend)
+
+    sp_render = None
+    if spatial > 1:
+        cap_band = max(instance_cap // spatial // pipe.chunk * pipe.chunk,
+                       4 * pipe.chunk)
+        sp_render = make_sp(cap_band)
+
+    def render_one(cam):
+        from gs2m_tpu.models.render import derive_render_pkg
+        from gs2m_tpu.ops.rasterize import RasterOut
+        nonlocal sp_render, cap_band, instance_cap
+        if sp_render is not None:
+            d = sp_render(gaussians, cam, bg)
+            while int(d["dropped"]) > 0 and cap_band < 2 ** 26:
+                cap_band *= 2
+                sp_render = make_sp(cap_band)
+                d = sp_render(gaussians, cam, bg)
+            out = RasterOut(color=d["color"], buffer=d["buffer"],
+                            final_T=d["final_T"], radii=d["radii"],
+                            observe=d["observe"], dropped=d["dropped"])
+            return derive_render_pkg(out, cam, bg, sobel_normal=need_sobel)
         pkg = render_jit(gaussians, cam, bg, gaussians.max_sh_degree,
                          geometry_stage=True, material_stage=True,
                          sobel_normal=need_sobel,
@@ -81,6 +124,10 @@ def render_views(model_cfg, pipe, args, scene, gaussians, light_state, split,
                              blend_metallic=model_cfg.metallic,
                              backend=backend, tile=pipe.tile, chunk=pipe.chunk,
                              instance_cap=instance_cap)
+        return pkg
+
+    for i, (cam, info) in enumerate(zip(cameras, camera_infos)):
+        pkg = render_one(cam)
         stem = info.image_name.rsplit(".", 1)[0]
 
         if gt_images is not None:
@@ -201,6 +248,9 @@ def main(argv=None):
     parser.add_argument("--blender", action="store_true")
     parser.add_argument("--normal_world", action="store_true")
     parser.add_argument("--normal_sobel", action="store_true")
+    parser.add_argument("--spatial", type=int, default=0,
+                        help="tile-shard each render over N devices "
+                             "(parallel/sp.py band mesh); 0/1 = single chip")
     parser.add_argument("--device", type=str, default="")
     args, model_cfg, pipe, _ = combine_args(parser, argv)
 

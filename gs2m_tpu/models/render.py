@@ -67,7 +67,18 @@ def render(
         feature_count=feature_count, tile=tile, chunk=chunk,
         instance_cap=instance_cap, backend=backend,
         m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink)
+    return derive_render_pkg(out, camera, bg, z_depth=z_depth,
+                             sobel_normal=sobel_normal)
 
+
+def derive_render_pkg(out, camera: Camera, bg: jnp.ndarray,
+                      z_depth: bool = False,
+                      sobel_normal: bool = False) -> dict:
+    """Raster surface (RasterOut) -> the reference's 13-map render dict
+    (gaussian_renderer/__init__.py:126-158). Shared by the single-chip
+    render() and the tile-sharded SP path (parallel/sp.py), whose outputs
+    concatenate to the same RasterOut surface."""
+    H, W = camera.height, camera.width
     buffer = out.buffer
     normal_map = buffer[2:5]
     normal_mask = jax.lax.stop_gradient(

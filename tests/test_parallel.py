@@ -1,4 +1,6 @@
 """Multi-chip data parallelism on the virtual 8-device CPU mesh."""
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -328,6 +330,60 @@ def test_scene_subset_loading_reads_only_subset(monkeypatch):
     scene.load_train_image_subset([1, 4])
     assert set(loaded) == {1, 4}
     assert scene.gt_images.shape[0] == len(scene.train_cameras)
+
+
+def test_render_app_spatial_flag_matches_single_chip(tmp_path):
+    """apps/render --spatial N (VERDICT r2 #5): the tile-sharded eval-sweep
+    path produces the same rendered/depth/normal images as the single-chip
+    path, driven through the real CLI."""
+    from PIL import Image
+
+    from gs2m_tpu.apps import render as render_app
+    from gs2m_tpu.core.config import (ModelConfig, OptimConfig,
+                                      PipelineConfig, save_cfg_args)
+    from gs2m_tpu.core.gaussians import Gaussians
+    from gs2m_tpu.data.ply import save_gaussian_ply
+    from tests.make_synthetic_scene import build
+
+    scene_dir = str(tmp_path / "scene")
+    build(scene_dir, n_views=4, width=64, height=48, n_points=150)
+
+    model_dir = str(tmp_path / "model")
+    os.makedirs(os.path.join(model_dir, "point_cloud", "iteration_100"))
+    mc = ModelConfig(source_path=scene_dir, model_path=model_dir,
+                     resolution=1, sh_degree=2)
+    save_cfg_args(model_dir, mc, PipelineConfig(chunk=64, use_pallas=False),
+                  OptimConfig())
+
+    rng_ = np.random.default_rng(3)
+    pts = rng_.normal(size=(150, 3)).astype(np.float32) * 0.6
+    cols = ((pts - pts.min(0)) / (pts.max(0) - pts.min(0))).astype(np.float32)
+    g = Gaussians.create(pts, cols, max_sh_degree=2, capacity=150)
+    alive = np.ones(150, bool)
+    save_gaussian_ply(
+        os.path.join(model_dir, "point_cloud", "iteration_100",
+                     "point_cloud.ply"),
+        np.asarray(g.xyz), np.asarray(g.features_dc),
+        np.asarray(g.features_rest), np.asarray(g.opacity),
+        np.asarray(g.scaling), np.asarray(g.rotation),
+        np.asarray(g.albedo), np.asarray(g.roughness),
+        np.asarray(g.metallic))
+
+    common = ["-m", model_dir, "-s", scene_dir, "--skip_test",
+              "--iteration", "100", "--device", "cpu"]
+    render_app.main(common + ["--label", "single"])
+    render_app.main(common + ["--label", "sp", "--spatial", "2"])
+
+    for kind in ("render", "depth", "normal"):
+        d1 = os.path.join(model_dir, "train", "single_100", kind)
+        d2 = os.path.join(model_dir, "train", "sp_100", kind)
+        names = sorted(os.listdir(d1))
+        assert names and names == sorted(os.listdir(d2))
+        for n in names:
+            a = np.asarray(Image.open(os.path.join(d1, n)), np.int32)
+            b = np.asarray(Image.open(os.path.join(d2, n)), np.int32)
+            # 8-bit quantization absorbs chunk-boundary fp reassociation.
+            assert np.abs(a - b).max() <= 1, (kind, n)
 
 
 def test_sp_tile_sharded_render_matches_single_chip():
