@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -134,6 +135,14 @@ def main():
     # per Gaussian — the post-SfM regime) so the headline can't hide behind a
     # kernel-friendly uniform slab.
     heavy = run_bench(n_gaussians=150_000, heavy_tail=True)
+    # Gradient-parity gate in the SAME session (VERDICT r2 #4): every perf
+    # round re-proves pallas-vs-autodiff grads at production scale. Summary
+    # rides this JSON line; breach fails the bench loudly.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    from check_grads_onchip import run_grad_check
+    grad_report, grad_ok = run_grad_check()
+    grad_worst = max(v["mixed_rel_max"] for v in grad_report.values())
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
     if os.path.exists(base_path):
@@ -153,7 +162,14 @@ def main():
         "target_mpixels_per_s": TARGET_MPIX_S,
         "heavy_mpixels_per_s": round(heavy["mpixels_per_s"], 2),
         "heavy_instances": heavy["instances"],
+        "grad_check_pass": grad_ok,
+        "grad_worst_mixed_rel": round(grad_worst, 6),
     }))
+    if not grad_ok:
+        import sys as _s
+        bad = {k: v for k, v in grad_report.items() if not v["pass"]}
+        print(f"GRAD GATE BREACH: {json.dumps(bad)}", file=_s.stderr)
+        _s.exit(1)
 
 
 if __name__ == "__main__":

@@ -1,13 +1,28 @@
-"""On-chip gradient parity at PRODUCTION scale (ADVICE r1: CPU tests cover
-~8K instances; accumulated prefix magnitude could degrade per-Gaussian grad
-precision at millions).
+"""On-chip gradient parity GATE at production scale.
 
-Runs the bench scene (500k Gaussians, ~1.7M aligned instances at 1600x1200)
-through BOTH rasterizer backends under the same loss and reports per-leaf
-max relative error of the parameter gradients. Prints one JSON line.
+Round-1 ADVICE: CPU tests cover ~8K instances; accumulated prefix magnitude
+could degrade per-Gaussian grad precision at millions. Round-2 VERDICT #4:
+promote the diagnostic to a gate — per-leaf tolerances, nonzero exit on
+breach, executed in the same session as bench.py so every perf round
+re-proves gradients at scale.
+
+Compares the production Pallas backward against the XLA-autodiff twin on the
+bench scene (180k Gaussians / ~650k instances at 1600x1200 — the largest
+scale the autodiff oracle holds in 16 GB HBM; its backward materializes
+(n_chunks, chunk, P) f32 intermediates, so the full 2M-instance bench OOMs).
+
+Metric: per-leaf MIXED row-relative error max_i |a_i - b_i| / (|b_i| +
+noise_floor * max|b|). The round-2 diagnostic's max|diff|/max|grad| flagged
+rotation at ~1e-2, but the offending rows were ILL-CONDITIONED (tiny |b_i|,
+catastrophic cancellation across thousands of per-instance contributions
+that the two backends sum in different orders); the mixed metric scores each
+row against its own magnitude with a floor that absorbs the cancellation
+noise, so a REAL derivation error (wrong math on a well-conditioned row)
+still trips the gate while reduction-order noise does not.
 
 Usage:
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/check_grads_onchip.py
+  (also invoked by bench.py — summary fields ride the bench JSON line)
 """
 from __future__ import annotations
 
@@ -19,27 +34,46 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Rows below this fraction of the leaf's max gradient are noise-floored
+# (their absolute disagreement still counts, scored against the floor).
+NOISE_FLOOR = 1e-3
 
-def main():
+# Per-leaf gate tolerances on the mixed row-relative metric. f32 reduction-
+# order noise across ~650k instances sits well below these; a derivation
+# error (missing term, wrong sign, wrong chain) overshoots them by orders of
+# magnitude. rotation/scaling pass through the cov3D -> conic chain twice
+# (value + quadratic form) and carry ~4x the cancellation of the direct
+# leaves, hence the looser bound.
+TOLERANCES = {
+    "xyz": 2e-3,
+    "features_dc": 2e-3,
+    "features_rest": 2e-3,
+    "opacity": 2e-3,
+    "scaling": 8e-3,
+    "rotation": 8e-3,
+    "albedo": 2e-3,
+    "roughness": 2e-3,
+    "metallic": 2e-3,
+}
+DEFAULT_TOL = 5e-3
+
+
+def run_grad_check(n=180_000, width=1600, height=1200, chunk=128):
+    """Returns (report dict, pass bool). Must run where both backends run
+    (the TPU chip; CPU works too via interpret mode, just slowly)."""
     import jax
     import jax.numpy as jnp
 
     from bench import build_bench_scene
     from gs2m_tpu.models.render import render
 
-    # 180k Gaussians / ~650k instances: the largest scale the XLA-autodiff
-    # oracle can hold — its backward materializes (n_chunks, chunk, P) f32
-    # intermediates (~1.6 MB/chunk x ~12 buffers), so the full bench scene
-    # (2M+ instances) OOMs 16 GB HBM. Still ~80x the CPU suite's instance
-    # count, which is what the prefix-magnitude concern is about.
-    n, W, H = 180_000, 1600, 1200
-    g, cam = build_bench_scene(n, W, H)
-    target = jnp.zeros((3, H, W))
+    g, cam = build_bench_scene(n, width, height)
+    target = jnp.zeros((3, height, width))
 
     def loss_fn(params, backend):
         pkg = render(g.with_params(params), cam, jnp.zeros(3),
                      active_sh_degree=3, geometry_stage=True, backend=backend,
-                     chunk=128, instance_cap=5120 * 128)
+                     chunk=chunk, instance_cap=5120 * chunk)
         return (jnp.mean(jnp.abs(pkg["render"] - target))
                 + 0.1 * jnp.mean(pkg["depth_map"] ** 2)
                 + 0.1 * jnp.mean(jnp.abs(pkg["normal_map"])))
@@ -50,27 +84,32 @@ def main():
         grads[be] = jax.jit(jax.grad(lambda p: loss_fn(p, be)))(params)
         float(grads[be]["xyz"][0, 0])  # scalar-readback sync
 
-    # NOTE: this measures backend DISAGREEMENT, not error against exact
-    # math — both backends round differently in f32 (two-level chunk sums
-    # vs sequential scan accumulation), and the gap grows with instance
-    # count. Report max|diff|/max|grad| per leaf plus the offending row's
-    # own magnitude, so noise-floor rows aren't mistaken for real error.
-    report, worst = {}, 0.0
+    report, ok = {}, True
     for k in params:
         a = np.asarray(grads["pallas"][k], np.float64)
         b = np.asarray(grads["xla"][k], np.float64)
         scale = np.abs(b).max() + 1e-30
-        d = np.abs(a - b)
-        i = np.unravel_index(d.argmax(), d.shape)
-        rel = float(d.max() / scale)
-        report[k] = {"rel_to_max": rel,
-                     "argmax_pallas": float(a[i]), "argmax_xla": float(b[i]),
-                     "argmax_row_mag_frac": float(np.abs(b[i]) / scale)}
-        worst = max(worst, rel)
+        mixed = np.abs(a - b) / (np.abs(b) + NOISE_FLOOR * scale)
+        i = np.unravel_index(mixed.argmax(), mixed.shape)
+        tol = TOLERANCES.get(k, DEFAULT_TOL)
+        leaf_ok = bool(mixed.max() <= tol)
+        report[k] = {
+            "mixed_rel_max": float(mixed.max()),
+            "mixed_rel_p999": float(np.quantile(mixed, 0.999)),
+            "rel_to_max": float(np.abs(a - b).max() / scale),
+            "argmax_pallas": float(a[i]), "argmax_xla": float(b[i]),
+            "tol": tol, "pass": leaf_ok,
+        }
+        ok = ok and leaf_ok
+    return report, ok
+
+
+def main():
+    report, ok = run_grad_check()
     print(json.dumps({"metric": "grad_backend_disagreement",
-                      "worst_rel_to_max": worst, "per_leaf": report,
-                      "gaussians": n, "resolution": f"{W}x{H}",
-                      "pass": worst < 0.02}))
+                      "per_leaf": report, "pass": ok,
+                      "noise_floor": NOISE_FLOOR}))
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

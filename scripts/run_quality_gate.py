@@ -80,7 +80,20 @@ def main(argv=None):
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing trained model dir")
     ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--production", action="store_true",
+                    help="DTU-shaped full-protocol config (VERDICT r2 #2): "
+                         "800x600, 49 views, 30k iterations with the "
+                         "reference schedule (geometry@5k, densify 500->15k "
+                         "every 100, trim every 1k, resets every 3k), "
+                         "noise-textured sphere so densification has to work "
+                         "at production point counts")
     args = ap.parse_args(argv)
+
+    if args.production:
+        args.width, args.height = 800, 600
+        args.views = 49
+        args.points = 40_000
+        args.iterations = 30_000
 
     scene_dir = os.path.join(args.out, "scene")
     model_dir = os.path.join(args.out, "model")
@@ -88,32 +101,54 @@ def main(argv=None):
 
     if not os.path.exists(os.path.join(scene_dir, "sparse/0/images.bin")):
         print("[>] Building synthetic surface scene", flush=True)
-        # Scene building runs on CPU (golden renderer at modest size).
+        if args.production:
+            # Production scene: fine splats (scale ~ inter-point spacing of
+            # the 40k cloud), per-point noise texture, SfM cloud = 25% of the
+            # true points (densification must recover the rest). GT renders
+            # on the chip — 49 views at 800x600 through the XLA twin is CPU-
+            # hostile but seconds on TPU.
+            build_args = (f"n_points={args.points}, surface=True, "
+                          "opacity_boost=8.0, point_scale=0.02, "
+                          "texture='noise', sfm_fraction=0.25, "
+                          "instance_cap=2**20")
+            dev_prelude = ""
+        else:
+            build_args = (f"n_points={args.points}, surface=True, "
+                          "opacity_boost=8.0, point_scale=0.05")
+            dev_prelude = "import jax; jax.config.update('jax_platforms', 'cpu');"
         run([py, "-c",
-             "import jax; jax.config.update('jax_platforms', 'cpu');"
+             dev_prelude +
              "import sys; sys.path.insert(0, 'tests');"
              "from make_synthetic_scene import build;"
              f"build('{scene_dir}', n_views={args.views}, "
-             f"width={args.width}, height={args.height}, "
-             f"n_points={args.points}, surface=True, opacity_boost=8.0, "
-             "point_scale=0.05)"])
+             f"width={args.width}, height={args.height}, {build_args})"])
+
+    if args.production:
+        # The reference DTU protocol (scripts/run_dtu.py:21): default
+        # schedule, lambda_depth_normal 0.015, full test-iteration ladder.
+        stage_flags = ["--lambda_depth_normal", "0.015"]
+        test_iters = (1000, 5000, 7000, 10000, 15000, 20000, 25000, 30000)
+    else:
+        stage_flags = ["--geometry_from_iter", "1000",
+                       "--densify_until_iter", str(int(args.iterations * 0.8)),
+                       "--densify_from_iter", "500",
+                       "--opacity_reset_interval", "3000"]
+        test_iters = (1000, 2000, 3000, args.iterations)
 
     t0 = time.time()
     if not args.skip_train:
         run([py, "-m", "gs2m_tpu.apps.train",
              "-s", scene_dir, "-m", model_dir, "--eval", "-r", "1",
-             "--iterations", str(args.iterations),
-             "--geometry_from_iter", "1000",
-             "--densify_until_iter", str(int(args.iterations * 0.8)),
-             "--densify_from_iter", "500",
-             "--opacity_reset_interval", "3000",
-             "--test_iterations", *[str(v) for v in
-                                    (1000, 2000, 3000, args.iterations)],
-             "--save_iterations", str(args.iterations)])
+             "--iterations", str(args.iterations), *stage_flags,
+             "--test_iterations", *[str(v) for v in test_iters],
+             "--save_iterations", str(args.iterations),
+             "--checkpoint_iterations", *[str(v) for v in test_iters[-4:]]])
     train_min = (time.time() - t0) / 60.0
 
+    voxel = "0.01" if args.production else "0.02"
     run([py, "-m", "gs2m_tpu.apps.render", "-m", model_dir,
-         "--extract_mesh", "--voxel_size", "0.02", "--sdf_trunc", "0.08",
+         "--extract_mesh", "--voxel_size", voxel,
+         "--sdf_trunc", str(4 * float(voxel)),
          "--iteration", str(args.iterations)])
     run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir])
 
@@ -130,23 +165,36 @@ def main(argv=None):
     if os.path.exists(mpath):
         metrics = json.load(open(mpath))
 
-    # Held-out PSNR trajectory from the train log.
-    test_psnrs = []
+    # Held-out PSNR trajectory + capacity stats from the train log.
+    test_psnrs, peak_points, final_points = [], 0, 0
+    mv_active = rough_active = None
     log_path = os.path.join(model_dir, "train_log.jsonl")
     if os.path.exists(log_path):
         for line in open(log_path):
             rec = json.loads(line)
             if "test_psnr" in rec:
                 test_psnrs.append((rec["iteration"], rec["test_psnr"]))
+            if "points" in rec:
+                peak_points = max(peak_points, rec["points"])
+                final_points = rec["points"]
+            mv_active = rec.get("mv_active", mv_active)
+            rough_active = rec.get("rough_active", rough_active)
 
     result = {
-        "scene": "synthetic_sphere",
+        "scene": ("synthetic_sphere_noise" if args.production
+                  else "synthetic_sphere"),
+        "production": bool(args.production),
         "resolution": f"{args.width}x{args.height}",
+        "views": args.views,
         "iterations": args.iterations,
         "train_minutes": round(train_min, 2),
         "chamfer": chamfer,
         "test_psnr_trajectory": test_psnrs,
         "metrics_test": metrics,
+        "peak_points": peak_points,
+        "final_points": final_points,
+        "mv_active_steps": mv_active,
+        "rough_active_steps": rough_active,
         "mesh": mesh_dir,
     }
     out_json = os.path.join(args.out, "quality_gate.json")

@@ -30,20 +30,34 @@ def make_scene_data(n_points: int = 300, seed: int = 0):
     return pts, cols
 
 
-def make_sphere_data(n_points: int = 4000, radius: float = 1.0, seed: int = 0):
+def make_sphere_data(n_points: int = 4000, radius: float = 1.0, seed: int = 0,
+                     texture: str = "smooth"):
     """Points ON a sphere surface (analytic geometry ground truth for the
-    train -> mesh -> chamfer quality gate)."""
+    train -> mesh -> chamfer quality gate).
+
+    texture="noise" mixes per-point random color into the smooth normal
+    coding: high-frequency appearance detail the optimizer can only fit by
+    densifying — the DTU-shaped production gate needs sustained clone/split
+    pressure to reach reference-scale point counts (a smooth sphere
+    converges at ~10^4 Gaussians)."""
     rng = np.random.default_rng(seed)
     v = rng.normal(size=(n_points, 3)).astype(np.float32)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     pts = (v * radius).astype(np.float32)
-    cols = (0.5 + 0.45 * v).astype(np.float32)  # smooth normal-coded colors
+    if texture == "noise":
+        cols = (0.3 + 0.3 * v
+                + 0.4 * rng.uniform(0, 1, (n_points, 3))).astype(np.float32)
+        cols = np.clip(cols, 0.0, 1.0)
+    else:
+        cols = (0.5 + 0.45 * v).astype(np.float32)  # smooth normal coding
     return pts, cols
 
 
 def build(out_dir: str, n_views: int = 10, width: int = 64, height: int = 48,
           n_points: int = 300, seed: int = 0, surface: bool = False,
-          opacity_boost: float = 6.0, point_scale: float | None = None):
+          opacity_boost: float = 6.0, point_scale: float | None = None,
+          texture: str = "smooth", instance_cap: int = 2 ** 15,
+          sfm_fraction: float = 0.5):
     import jax.numpy as jnp
     from PIL import Image
 
@@ -54,7 +68,7 @@ def build(out_dir: str, n_views: int = 10, width: int = 64, height: int = 48,
     from gs2m_tpu.ops.rasterize import build_features, rasterize_from_projected
 
     if surface:
-        pts, cols = make_sphere_data(n_points, seed=seed)
+        pts, cols = make_sphere_data(n_points, seed=seed, texture=texture)
     else:
         pts, cols = make_scene_data(n_points, seed)
     msd = (np.full(pts.shape[0], point_scale ** 2, np.float32)
@@ -80,9 +94,15 @@ def build(out_dir: str, n_views: int = 10, width: int = 64, height: int = 48,
         proj = project(g, cam, g.max_sh_degree)
         opa = jnp.minimum(g.get_opacity[:, 0] * opacity_boost, 0.99)
         feats = build_features(g, cam)
-        out = rasterize_from_projected(proj, opa, feats, jnp.zeros(3), cam,
-                                       feature_count=1, chunk=64,
-                                       instance_cap=2 ** 15, backend="xla")
+        cap = instance_cap
+        while True:
+            out = rasterize_from_projected(proj, opa, feats, jnp.zeros(3), cam,
+                                           feature_count=1, chunk=64,
+                                           instance_cap=cap, backend="xla")
+            if int(out.dropped) == 0 or cap >= 2 ** 24:
+                break
+            cap *= 2
+        instance_cap = cap  # carry the grown cap to the remaining views
         img = np.clip(np.asarray(out.color).transpose(1, 2, 0), 0, 1)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(out_dir, "images", name))
@@ -91,10 +111,138 @@ def build(out_dir: str, n_views: int = 10, width: int = 64, height: int = 48,
     cm.write_images_binary(os.path.join(out_dir, "sparse/0/images.bin"), imgs)
     # Noisy subset of the true points as the SfM cloud.
     rng = np.random.default_rng(seed + 1)
-    sel = rng.choice(pts.shape[0], size=max(50, pts.shape[0] // 2), replace=False)
+    sel = rng.choice(pts.shape[0],
+                     size=max(50, int(pts.shape[0] * sfm_fraction)),
+                     replace=False)
     noisy = pts[sel] + rng.normal(scale=0.02, size=(len(sel), 3)).astype(np.float32)
     cm.write_points3d_binary(os.path.join(out_dir, "sparse/0/points3D.bin"),
                              noisy.astype(np.float64), (cols[sel] * 255))
+    return out_dir
+
+
+def analytic_env(dirs: np.ndarray, power_scale: float = 1.0) -> np.ndarray:
+    """Known analytic environment light: three colored directional lobes +
+    ambient. `dirs` (..., 3) unit; returns (..., 3) linear RGB. The material
+    quality gate trains against images shaded under THIS light and compares
+    the recovered cubemap to it (scripts/run_material_gate.py)."""
+    lobes = [
+        (np.array([0.0, -1.0, 0.0]), np.array([1.5, 1.3, 0.9]), 8.0),   # warm top (y-down)
+        (np.array([1.0, 0.0, 0.3]), np.array([0.4, 0.6, 1.4]), 6.0),    # cool side
+        (np.array([-0.8, 0.3, -0.5]), np.array([0.8, 0.3, 0.2]), 4.0),  # red back
+    ]
+    out = np.full(dirs.shape[:-1] + (3,), 0.12, np.float64)
+    for u, c, p in lobes:
+        u = u / np.linalg.norm(u)
+        d = np.maximum(np.einsum("...k,k->...", dirs, u), 0.0)
+        out += c * (d ** (p * power_scale))[..., None]
+    return out
+
+
+def build_glossy(out_dir: str, n_views: int = 36, width: int = 400,
+                 height: int = 300, n_points: int = 20_000, seed: int = 0,
+                 test_every: int = 8):
+    """Specular sphere under the analytic_env light, COLMAP layout + masks.
+
+    The material-stage quality gate's scene (mirrors the GlossyBlender
+    protocol, /root/reference/scripts/run_glossy.py:36): view-dependent GT
+    (diffuse banding + sharp/rough specular per hemisphere) that only a
+    material decomposition can fit. Two roughness zones (glossy north 0.1 /
+    rough south 0.5 band) give the roughness map a recoverable structure.
+    """
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gs2m_tpu.core.camera import Camera
+    from gs2m_tpu.core.gaussians import Gaussians
+    from gs2m_tpu.data import colmap as cm
+    from gs2m_tpu.ops.projection import project
+    from gs2m_tpu.ops.rasterize import build_features, rasterize_from_projected
+
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n_points, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = v.astype(np.float32)
+
+    # Albedo: two-tone bands (recoverable structure, no high-freq noise —
+    # the specular term supplies the view-dependence).
+    band = (np.sin(4.0 * np.arctan2(v[:, 0], v[:, 2])) > 0)
+    albedo = np.where(band[:, None], np.array([[0.7, 0.25, 0.2]]),
+                      np.array([[0.2, 0.45, 0.7]])).astype(np.float64)
+    # Roughness: glossy north (y-down world: y<0 is up), rough south.
+    rough = np.where(v[:, 1] < 0.0, 0.1, 0.5)
+
+    g = Gaussians.create(pts, albedo.astype(np.float32), max_sh_degree=1,
+                         capacity=n_points,
+                         mean_sq_dist=np.full(n_points, 0.03 ** 2, np.float32))
+
+    fx = fy = 0.9 * width
+    os.makedirs(os.path.join(out_dir, "sparse/0"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "masks"), exist_ok=True)
+
+    # Diffuse irradiance of the analytic env (lobes blurred to power 1).
+    irr = analytic_env(v, power_scale=1.0 / 8.0)
+
+    cams, imgs = {}, {}
+    cams[1] = cm.ColmapCamera(1, "PINHOLE", width, height,
+                              np.array([fx, fy, width / 2, height / 2],
+                                       np.float64))
+    cap = 2 ** 18
+    for i in range(n_views):
+        # Two rings (low + high) so reflections sweep the full env sphere.
+        theta = 2 * np.pi * i / n_views
+        h = 0.8 if i % 2 == 0 else -1.2
+        R, T = ring_camera(theta, dist=4.0, height=h)
+        name = f"view_{i:03d}.png"
+        imgs[i + 1] = cm.ColmapImage(i + 1, cm.rotmat_to_qvec(R.T), T, 1, name)
+
+        cam = Camera.create(R, T, fovx=2 * np.arctan(width / (2 * fx)),
+                            fovy=2 * np.arctan(height / (2 * fy)),
+                            width=width, height=height)
+        eye = np.asarray(cam.cam_center, np.float64)
+        w = eye[None, :] - v
+        w /= np.linalg.norm(w, axis=1, keepdims=True)
+        ndw = np.sum(v * w, axis=1, keepdims=True)
+        r = 2.0 * ndw * v - w
+        # Per-point specular sharpness by roughness zone: the glossy zone
+        # sees sharp lobes (power x4), the rough zone broad ones (power /4).
+        spec = np.where((rough < 0.3)[:, None],
+                        analytic_env(r, power_scale=4.0),
+                        analytic_env(r, power_scale=0.25))
+        color = albedo * irr + 0.35 * spec * np.maximum(ndw, 0.0)
+        color = np.clip(color, 0.0, 1.0).astype(np.float32)
+
+        proj = project(g, cam, 0)
+        proj = proj._replace(colors=jnp.asarray(color))
+        opa = jnp.minimum(g.get_opacity[:, 0] * 8.0, 0.99)
+        feats = build_features(g, cam)
+        while True:
+            out = rasterize_from_projected(proj, opa, feats, jnp.ones(3), cam,
+                                           feature_count=1, chunk=64,
+                                           instance_cap=cap, backend="xla")
+            if int(out.dropped) == 0 or cap >= 2 ** 24:
+                break
+            cap *= 2
+        img = np.clip(np.asarray(out.color).transpose(1, 2, 0), 0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, "images", name))
+        alpha = 1.0 - np.asarray(out.final_T)
+        Image.fromarray((np.clip(alpha, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, "masks", f"view_{i:03d}.png"))
+
+    cm.write_cameras_binary(os.path.join(out_dir, "sparse/0/cameras.bin"), cams)
+    cm.write_images_binary(os.path.join(out_dir, "sparse/0/images.bin"), imgs)
+    rng2 = np.random.default_rng(seed + 1)
+    sel = rng2.choice(n_points, size=n_points // 3, replace=False)
+    noisy = pts[sel] + rng2.normal(scale=0.01, size=(len(sel), 3)).astype(np.float32)
+    cm.write_points3d_binary(os.path.join(out_dir, "sparse/0/points3D.bin"),
+                             noisy.astype(np.float64),
+                             (albedo[sel] * 255))
+    # Ground-truth material summary for the gate's recovery checks.
+    import json
+    with open(os.path.join(out_dir, "gt_material.json"), "w") as f:
+        json.dump({"roughness_glossy": 0.1, "roughness_rough": 0.5,
+                   "glossy_zone": "y<0", "spec_strength": 0.35}, f)
     return out_dir
 
 

@@ -152,3 +152,37 @@ def test_scene_gt_matches_render(synthetic_scene):
     gt = np.asarray(scene.gt_images[0])
     re = np.clip(np.asarray(out.color), 0, 1)
     assert np.abs(gt - re).max() < 2.5 / 255.0
+
+
+def test_glossy_scene_builder(tmp_path):
+    """build_glossy: COLMAP layout + masks + view-dependent speculars (two
+    opposite views must disagree on the sphere far beyond albedo noise) and
+    a Scene loads it with mask_gt."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gs2m_tpu.core.config import ModelConfig
+    from gs2m_tpu.data.scene import Scene
+    from tests.make_synthetic_scene import analytic_env, build_glossy
+
+    out = str(tmp_path / "glossy")
+    build_glossy(out, n_views=6, width=96, height=72, n_points=3000)
+    assert os.path.exists(os.path.join(out, "gt_material.json"))
+
+    # View dependence: same camera ring position, opposite side.
+    a = np.asarray(Image.open(os.path.join(out, "images", "view_000.png")),
+                   np.float32) / 255.0
+    b = np.asarray(Image.open(os.path.join(out, "images", "view_002.png")),
+                   np.float32) / 255.0
+    assert np.abs(a - b).max() > 0.2
+
+    mc = ModelConfig(source_path=out, resolution=1, sh_degree=1,
+                     mask_gt=True, masks="masks", white_background=True)
+    scene = Scene(mc, shuffle=False)
+    assert scene.gt_images.shape[0] == 6
+    assert float(scene.alpha_masks.max()) > 0.9
+
+    # analytic_env: positive, lobes make it anisotropic.
+    d = np.eye(3)
+    e = analytic_env(d)
+    assert (e > 0).all() and e.std() > 0.05
