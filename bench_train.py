@@ -68,21 +68,10 @@ def build_scene(n_views, width, height, n_points, seed=0,
     return mc, pipe, opt, scene
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--gaussians", type=int, default=300_000)
-    ap.add_argument("--width", type=int, default=800)
-    ap.add_argument("--height", type=int, default=600)
-    ap.add_argument("--views", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--backend", default="pallas")
-    ap.add_argument("--preset", default="steady", choices=["steady", "early"],
-                    help="steady: converged-size splats (~3 instances/"
-                         "Gaussian, the 30k-run steady state); early: "
-                         "knn-initialized splats (~10 instances/Gaussian, "
-                         "the heavy post-SfM phase)")
-    args = ap.parse_args(argv)
-
+def build_trainer(args):
+    """Scene + Trainer at the bench operating point, instance cap presized
+    from a measured probe, warmed up to a non-dropping steady state.
+    Shared with scripts/profile_step.py --train."""
     import jax.numpy as jnp
 
     from gs2m_tpu.train.trainer import Trainer
@@ -135,6 +124,27 @@ def main(argv=None):
     dropped = int(m["dropped"])
     assert dropped == 0, f"instance cap still dropping after growth: {dropped}"
     float(m["loss"])  # scalar readback: full sync through remote runtimes
+    return trainer
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gaussians", type=int, default=300_000)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--preset", default="steady", choices=["steady", "early"],
+                    help="steady: converged-size splats (~3 instances/"
+                         "Gaussian, the 30k-run steady state); early: "
+                         "knn-initialized splats (~10 instances/Gaussian, "
+                         "the heavy post-SfM phase)")
+    args = ap.parse_args(argv)
+
+    import time
+
+    trainer = build_trainer(args)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):

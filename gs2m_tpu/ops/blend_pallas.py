@@ -10,9 +10,9 @@ cuda_rasterizer/forward.cu:246-372, backward.cu:412-598), re-derived for TPU:
   output tile block stays resident in VMEM across consecutive grid steps
 * layout: instances ride the sublane axis, pixels the lane axis
   (alpha/weight blocks are (chunk, P=256)); per-instance tables are stored
-  TRANSPOSED — geom (8, I), values (16, I) — so HBM tiles are dense
-* the whole chunk's 13-channel accumulation is ONE MXU matmul
-  V(16,chunk) @ W(chunk,P)
+  TRANSPOSED — geom (8, I), values (V, I), V = 8 (warmup/geometry) or 16
+  (material; ops/rasterize.value_width) — so HBM tiles are dense
+* the whole chunk's accumulation is ONE MXU matmul Vals(V,chunk) @ W(chunk,P)
 * early termination (T < 1e-4) is a cummax over the crossing flag; a chunk
   whose tile is fully terminated skips its math under @pl.when
 * the backward pass sweeps chunks in REVERSE grid order, reconstructing
@@ -169,6 +169,7 @@ def _run_forward(geom_t, vals_t, chunk_tile, *, T: int, n_chunks: int,
                  chunk: int, tile: int, grid_x: int, width: int, height: int,
                  interpret: bool):
     P = tile * tile
+    V = vals_t.shape[0]
     kernel = functools.partial(_fwd_kernel, tile=tile, grid_x=grid_x,
                                width=width, height=height, P=P)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -177,11 +178,11 @@ def _run_forward(geom_t, vals_t, chunk_tile, *, T: int, n_chunks: int,
         in_specs=[
             pl.BlockSpec((8, chunk), lambda i, ct: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, chunk), lambda i, ct: (0, i),
+            pl.BlockSpec((V, chunk), lambda i, ct: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 16, P), lambda i, ct: (ct[i], 0, 0),
+            pl.BlockSpec((1, V, P), lambda i, ct: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda i, ct: (ct[i], 0, 0),
                          memory_space=pltpu.VMEM),
@@ -198,7 +199,7 @@ def _run_forward(geom_t, vals_t, chunk_tile, *, T: int, n_chunks: int,
         ],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((T + 1, 16, P), jnp.float32),      # per-tile image
+        jax.ShapeDtypeStruct((T + 1, V, P), jnp.float32),       # per-tile image
         jax.ShapeDtypeStruct((T + 1, 1, P), jnp.float32),       # final T
         jax.ShapeDtypeStruct((n_chunks, 1, P), jnp.float32),    # carry logT
         jax.ShapeDtypeStruct((n_chunks, 1, P), jnp.float32),    # carry done
@@ -307,6 +308,7 @@ def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
     P = tile * tile
     I = n_chunks * chunk
     n = n_chunks
+    V = vals_t.shape[0]
 
     kernel = functools.partial(_bwd_kernel, tile=tile, grid_x=grid_x,
                                width=width, height=height, P=P, n_chunks=n)
@@ -316,13 +318,13 @@ def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
         in_specs=[
             pl.BlockSpec((8, chunk), lambda i, ct: (0, n - 1 - i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, chunk), lambda i, ct: (0, n - 1 - i),
+            pl.BlockSpec((V, chunk), lambda i, ct: (0, n - 1 - i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda i, ct: (n - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda i, ct: (n - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, P), lambda i, ct: (ct[n - 1 - i], 0, 0),
+            pl.BlockSpec((1, V, P), lambda i, ct: (ct[n - 1 - i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda i, ct: (ct[n - 1 - i], 0, 0),
                          memory_space=pltpu.VMEM),
@@ -332,14 +334,14 @@ def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
         out_specs=[
             pl.BlockSpec((8, chunk), lambda i, ct: (0, n - 1 - i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, chunk), lambda i, ct: (0, n - 1 - i),
+            pl.BlockSpec((V, chunk), lambda i, ct: (0, n - 1 - i),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
     )
     out_shape = [
         jax.ShapeDtypeStruct((8, I), jnp.float32),
-        jax.ShapeDtypeStruct((16, I), jnp.float32),
+        jax.ShapeDtypeStruct((V, I), jnp.float32),
     ]
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
@@ -352,20 +354,20 @@ def _run_backward(geom_t, vals_t, chunk_tile, clogT, cdone, g_img, gT, fT, *,
 # =============================================================================
 
 def _gather_instances(values, means2d, conics, opacities, gid, is_null):
-    """Per-instance transposed tables: geom (8, I), vals (16, I), via ONE
-    lane-major (24, C)[:, gid] gather — a single fused gather beats two
-    separate (8,C)+(16,C) gathers by ~25% on TPU, and column gathers from a
+    """Per-instance transposed tables: geom (8, I), vals (V, I), via ONE
+    lane-major (8+V, C)[:, gid] gather — a single fused gather beats two
+    separate (8,C)+(V,C) gathers by ~25% on TPU, and column gathers from a
     (K, C) table are ~5x cheaper than (C, K) row gathers."""
     C = values.shape[0]
     src = jnp.concatenate(
         [means2d, conics, opacities[:, None], jnp.zeros((C, 2), values.dtype),
-         values], axis=-1).T                       # (24, C): geom 8 | vals 16
+         values], axis=-1).T                       # (8+V, C): geom 8 | vals V
     # Barriers pin the gather to its clean isolated form — measured 31 ms at
     # 3.1M x 24 on one chip; letting XLA fuse producers/consumers into the
     # gather kernel ballooned the same op to 117 ms in the full step.
     src = jax.lax.optimization_barrier(src)
     gid = jax.lax.optimization_barrier(gid)
-    tab = jax.lax.optimization_barrier(src[:, gid])  # (24, I) one gather
+    tab = jax.lax.optimization_barrier(src[:, gid])  # (8+V, I) one gather
     # Null slots zero the geom column: opacity 0 gates them out of the blend.
     geom_t = jnp.where(is_null[None, :], 0.0, tab[:8])
     vals_t = tab[8:]
@@ -378,12 +380,13 @@ def _untile(img_tiles, fT_tiles, tile_nonempty, grid_y, grid_x, tile):
     # tiles, or nonempty tiles cut whole by instance-cap overflow) keep
     # UNINITIALIZED kernel output blocks — NaN in interpret mode, garbage on
     # hardware — and NaN * 0 == NaN.
+    V = img_tiles.shape[1]
     ne = tile_nonempty[:, None, None]
     img = jnp.where(ne, img_tiles[:T], 0.0)
     fT = jnp.where(tile_nonempty[:, None], fT_tiles[:T],
                    jnp.ones_like(fT_tiles[:T]))
-    img = img.reshape(grid_y, grid_x, 16, tile, tile)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(16, grid_y * tile, grid_x * tile)
+    img = img.reshape(grid_y, grid_x, V, tile, tile)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(V, grid_y * tile, grid_x * tile)
     fT = fT.reshape(grid_y, grid_x, tile, tile)
     fT = fT.transpose(0, 2, 1, 3).reshape(grid_y * tile, grid_x * tile)
     return img, fT
@@ -391,8 +394,9 @@ def _untile(img_tiles, fT_tiles, tile_nonempty, grid_y, grid_x, tile):
 
 def _retile(g_img, g_fT, grid_y, grid_x, tile):
     """Inverse of _untile for the cotangents; appends the dummy tile row."""
-    gi = g_img.reshape(16, grid_y, tile, grid_x, tile)
-    gi = gi.transpose(1, 3, 0, 2, 4).reshape(grid_y * grid_x, 16, tile * tile)
+    V = g_img.shape[0]
+    gi = g_img.reshape(V, grid_y, tile, grid_x, tile)
+    gi = gi.transpose(1, 3, 0, 2, 4).reshape(grid_y * grid_x, V, tile * tile)
     gt = g_fT.reshape(grid_y, tile, grid_x, tile)
     gt = gt.transpose(0, 2, 1, 3).reshape(grid_y * grid_x, 1, tile * tile)
     pad_i = jnp.zeros((1,) + gi.shape[1:], gi.dtype)
@@ -473,11 +477,13 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
     # even though the same-index gather from the 500k-wide per-GAUSSIAN
     # table costs only 25 ms (measured; see _gather_instances).
     # Null slots carry key I and zero grads, sorting harmlessly to the tail.
-    per_inst = jnp.concatenate([dvals, dgeom], axis=0)  # (24, I)
+    V = dvals.shape[0]
+    K = V + 8
+    per_inst = jnp.concatenate([dvals, dgeom], axis=0)  # (K, I)
     key = expansion_id  # already I for null slots (binning.py)
-    sorted_ops = jax.lax.sort((key,) + tuple(per_inst[k] for k in range(24)),
+    sorted_ops = jax.lax.sort((key,) + tuple(per_inst[k] for k in range(K)),
                               num_keys=1, is_stable=False)
-    grads_exp = jnp.stack(sorted_ops[1:], axis=0)       # (24, I) rank order
+    grads_exp = jnp.stack(sorted_ops[1:], axis=0)       # (K, I) rank order
 
     # Rank of each segment boundary among the PRESENT ids. Fast path
     # (dropped == 0, the steady state — the trainer grows the buffer on any
@@ -506,19 +512,19 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
     #   S(r) = blk_excl[(r-1)//B] + loc[(r-1)//B, (r-1)%B]   (0 for r == 0).
     B = chunk  # I is a multiple of chunk by construction
     nb = I // B
-    loc = jnp.cumsum(grads_exp.reshape(24, nb, B), axis=2)
+    loc = jnp.cumsum(grads_exp.reshape(K, nb, B), axis=2)
     blk = loc[:, :, -1]
-    blk_excl = jnp.cumsum(blk, axis=1) - blk             # (24, nb)
+    blk_excl = jnp.cumsum(blk, axis=1) - blk             # (K, nb)
     rm1 = jnp.clip(r - 1, 0, I - 1)
     pos = (r > 0)[None, :]
-    S = jnp.where(pos, blk_excl[:, rm1 // B] + loc.reshape(24, I)[:, rm1], 0.0)
+    S = jnp.where(pos, blk_excl[:, rm1 // B] + loc.reshape(K, I)[:, rm1], 0.0)
     acc = S[:, 1:] - S[:, :-1]                           # per-Gaussian sums
 
-    d_values = acc[0:16].T
-    d_means2d = acc[16:18].T
-    d_conics = acc[18:21].T
-    d_opac = acc[21]
-    d_abs = acc[22:24].T
+    d_values = acc[0:V].T
+    d_means2d = acc[V:V + 2].T
+    d_conics = acc[V + 2:V + 5].T
+    d_opac = acc[V + 5]
+    d_abs = acc[V + 6:V + 8].T
 
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return (d_values, d_means2d, d_conics, d_opac, d_abs,

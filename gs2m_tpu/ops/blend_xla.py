@@ -11,7 +11,7 @@ with per-(instance, pixel) alpha a_{j,p} and log-transmittance carried per
 pixel, the blend weight is
     w_j = a_j * exp(carry + cumsum_excl(log(1-a))) * [not done]
 and a whole chunk's RGB+feature accumulation is ONE MXU matmul
-    out[16, P] += V[16, CHUNK] @ W[CHUNK, P].
+    out[V, P] += Vals[V, CHUNK] @ W[CHUNK, P].
 Early termination (T < 1e-4, forward.cu:335-338) becomes a cummax over the
 crossing flag; skipped Gaussians (power > 0 or alpha < 1/255) set a_j = 0,
 which is exactly "continue without updating T".
@@ -31,7 +31,7 @@ ALPHA_MIN = 1.0 / 255.0
 
 
 class BlendOut(NamedTuple):
-    image: jnp.ndarray     # (16, Hp, Wp): rows 0-2 RGB (no bg), 3-12 features
+    image: jnp.ndarray     # (V, Hp, Wp): rows 0-2 RGB (no bg), rest features
     final_T: jnp.ndarray   # (Hp, Wp)
     observe: jnp.ndarray   # (C,) int32
 
@@ -77,7 +77,7 @@ def _chunk_blend(alpha, carry_logT, carry_done):
 
 
 @partial(jax.jit, static_argnames=("height", "width", "tile", "chunk"))
-def blend_tiles_xla(values: jnp.ndarray,    # (C, 16) rows: rgb(3) feat(10) pad(3)
+def blend_tiles_xla(values: jnp.ndarray,    # (C, V) rows: rgb(3) + features
                     means2d: jnp.ndarray,   # (C, 2)
                     conics: jnp.ndarray,    # (C, 3)
                     opacities: jnp.ndarray,  # (C,)
@@ -87,6 +87,7 @@ def blend_tiles_xla(values: jnp.ndarray,    # (C, 16) rows: rgb(3) feat(10) pad(
     T = grid_y * grid_x
     P = tile * tile
     C = values.shape[0]
+    V = values.shape[1]
     I = binning.gid.shape[0]
     n_chunks = I // chunk
 
@@ -103,7 +104,7 @@ def blend_tiles_xla(values: jnp.ndarray,    # (C, 16) rows: rgb(3) feat(10) pad(
         m2 = means2d[gids]
         co = conics[gids]
         op = jnp.where(nulls, 0.0, opacities[gids])
-        vals = values[gids]  # (chunk, 16)
+        vals = values[gids]  # (chunk, V)
 
         ty = (t // grid_x).astype(jnp.float32)
         tx = (t % grid_x).astype(jnp.float32)
@@ -115,26 +116,26 @@ def blend_tiles_xla(values: jnp.ndarray,    # (C, 16) rows: rgb(3) feat(10) pad(
         w, logT_excl, contribute, new_logT, new_done = _chunk_blend(
             alpha, logT[t], done[t])
 
-        out16 = vals.T @ w  # (16, P) MXU
+        outv = vals.T @ w  # (V, P) MXU
         obs = jnp.sum((contribute & (logT_excl > jnp.log(0.5))).astype(jnp.int32), axis=1)
 
         logT = logT.at[t].set(new_logT)
         done = done.at[t].set(new_done)
-        acc = acc.at[t].add(out16)
+        acc = acc.at[t].add(outv)
         return (logT, done, acc), (obs, gids)
 
     logT0 = jnp.zeros((T + 1, P), values.dtype)
     done0 = jnp.zeros((T + 1, P), bool)
-    acc0 = jnp.zeros((T + 1, 16, P), values.dtype)
+    acc0 = jnp.zeros((T + 1, V, P), values.dtype)
     (logT, _, acc), (obs_chunks, gid_chunks) = jax.lax.scan(
         step, (logT0, done0, acc0), (gid, null, binning.chunk_tile))
 
     observe = jnp.zeros((C,), jnp.int32).at[gid_chunks.reshape(-1)].add(
         obs_chunks.reshape(-1))
 
-    # Untile to (16, Hp, Wp) and (Hp, Wp).
-    img = acc[:T].reshape(grid_y, grid_x, 16, tile, tile)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(16, grid_y * tile, grid_x * tile)
+    # Untile to (V, Hp, Wp) and (Hp, Wp).
+    img = acc[:T].reshape(grid_y, grid_x, V, tile, tile)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(V, grid_y * tile, grid_x * tile)
     fT = jnp.exp(logT[:T]).reshape(grid_y, grid_x, tile, tile)
     fT = fT.transpose(0, 2, 1, 3).reshape(grid_y * tile, grid_x * tile)
     return BlendOut(image=img, final_T=fT, observe=observe)

@@ -45,14 +45,26 @@ class RasterOut(NamedTuple):
     dropped: jnp.ndarray   # () int32 — binning overflow diagnostic
 
 
+def value_width(feature_count: int) -> int:
+    """Blend-value channel count: 3 RGB + feature_count, rounded up to the
+    f32 sublane tile (8). The warmup/geometry stages (feature_count 1/5) ride
+    an 8-wide table — half the gather/sort/matmul traffic of the material
+    stage's 16 — and every channel beyond feature_count is exactly zero, so
+    all backends stay output-identical across widths."""
+    return 8 if feature_count + 3 <= 8 else 16
+
+
 def pack_values(colors: jnp.ndarray, features: jnp.ndarray,
                 feature_count: int) -> jnp.ndarray:
-    """(C,3) colors + (C,10) features -> (C,16) value rows; channels beyond
+    """(C,3) colors + (C,10) features -> (C,V) value rows; channels beyond
     feature_count are zeroed (forward.cu:345-346 blends only featureCount)."""
     C = colors.shape[0]
-    mask = (jnp.arange(10) < feature_count).astype(features.dtype)
-    return jnp.concatenate(
-        [colors, features * mask[None, :], jnp.zeros((C, 3), colors.dtype)], axis=-1)
+    V = value_width(feature_count)
+    nf = V - 3
+    mask = (jnp.arange(nf) < feature_count).astype(features.dtype)
+    feats = features[:, :nf] if nf <= 10 else jnp.concatenate(
+        [features, jnp.zeros((C, nf - 10), features.dtype)], axis=-1)
+    return jnp.concatenate([colors, feats * mask[None, :]], axis=-1)
 
 
 def rasterize_from_projected(
@@ -105,7 +117,14 @@ def rasterize_from_projected(
     image = image[:, :H, :W]
     final_T = final_T[:H, :W]
     color = image[0:3] + final_T[None] * bg[:, None, None]
-    return RasterOut(color=color, buffer=image[3:13], final_T=final_T,
+    # Narrow value widths (warmup/geometry) blend fewer channels; the public
+    # buffer surface stays (10, H, W) — channels beyond feature_count are
+    # zero by construction either way.
+    buffer = image[3:13]
+    if buffer.shape[0] < 10:
+        buffer = jnp.concatenate(
+            [buffer, jnp.zeros((10 - buffer.shape[0], H, W), image.dtype)])
+    return RasterOut(color=color, buffer=buffer, final_T=final_T,
                      radii=proj.radii, observe=observe, dropped=binning.dropped)
 
 

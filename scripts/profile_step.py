@@ -68,36 +68,57 @@ def main():
     ap.add_argument("--cap", type=int, default=3 * 2 ** 20)
     ap.add_argument("--min_ms", type=float, default=0.3)
     ap.add_argument("--keep", default=None, help="keep trace dir at this path")
+    ap.add_argument("--train", action="store_true",
+                    help="profile the FULL Trainer geometry step at "
+                         "bench_train config instead of the bare render step")
+    ap.add_argument("--preset", default="steady", choices=["steady", "early"])
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from bench import build_bench_scene
-    from gs2m_tpu.models.render import render
+    if args.train:
+        # The real thing: Trainer train_step (main+neighbor render, staged
+        # losses, Adam, densify stats) at bench_train's scene/scale.
+        import types
 
-    g, cam = build_bench_scene(args.gaussians, args.width, args.height)
-    target = jnp.zeros((3, args.height, args.width))
+        import bench_train
+        w, h = (args.width, args.height) if args.width != 1600 else (800, 600)
+        n_g = args.gaussians if args.gaussians != 500_000 else 300_000
+        bt = types.SimpleNamespace(gaussians=n_g, width=w, height=h, views=8,
+                                   backend=args.backend, preset=args.preset)
+        trainer = bench_train.build_trainer(bt)
+        tracedir = args.keep or tempfile.mkdtemp(prefix="gs2m_trace_")
+        with jax.profiler.trace(tracedir):
+            for _ in range(args.iters):
+                m = trainer.train_step()
+            float(m["loss"])
+    else:
+        from bench import build_bench_scene
+        from gs2m_tpu.models.render import render
 
-    def loss_fn(params):
-        pkg = render(g.with_params(params), cam, jnp.zeros(3),
-                     active_sh_degree=3, geometry_stage=True,
-                     backend=args.backend, chunk=args.chunk,
-                     instance_cap=args.cap)
-        return (jnp.mean(jnp.abs(pkg["render"] - target))
-                + 0.1 * jnp.mean(pkg["depth_map"] ** 2)
-                + 0.1 * jnp.mean(jnp.abs(pkg["normal_map"])))
+        g, cam = build_bench_scene(args.gaussians, args.width, args.height)
+        target = jnp.zeros((3, args.height, args.width))
 
-    step = jax.jit(jax.grad(loss_fn))
-    params = g.params_dict()
-    out = step(params)
-    float(out["xyz"][0, 0])  # full sync (see CLAUDE.md: scalar readback)
+        def loss_fn(params):
+            pkg = render(g.with_params(params), cam, jnp.zeros(3),
+                         active_sh_degree=3, geometry_stage=True,
+                         backend=args.backend, chunk=args.chunk,
+                         instance_cap=args.cap)
+            return (jnp.mean(jnp.abs(pkg["render"] - target))
+                    + 0.1 * jnp.mean(pkg["depth_map"] ** 2)
+                    + 0.1 * jnp.mean(jnp.abs(pkg["normal_map"])))
 
-    tracedir = args.keep or tempfile.mkdtemp(prefix="gs2m_trace_")
-    with jax.profiler.trace(tracedir):
-        for _ in range(args.iters):
-            out = step(params)
-        float(out["xyz"][0, 0])
+        step = jax.jit(jax.grad(loss_fn))
+        params = g.params_dict()
+        out = step(params)
+        float(out["xyz"][0, 0])  # full sync (see CLAUDE.md: scalar readback)
+
+        tracedir = args.keep or tempfile.mkdtemp(prefix="gs2m_trace_")
+        with jax.profiler.trace(tracedir):
+            for _ in range(args.iters):
+                out = step(params)
+            float(out["xyz"][0, 0])
 
     data = collect_trace(tracedir)
     rows, cnt, total_dev, pid_names = aggregate(data)

@@ -39,6 +39,9 @@ def run(cmd, **kw):
     print("[run]", " ".join(cmd), flush=True)
     if cmd[0] == sys.executable and cmd[1] != "-u":
         cmd = [cmd[0], "-u", *cmd[1:]]
+    # Init-time TPU-claim retry (scripts/tpu_retry.py).
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "tpu_retry.py"),
+           "--", *cmd]
     subprocess.run(cmd, check=True, cwd=REPO, **kw)
 
 

@@ -39,6 +39,11 @@ def run(cmd, **kw):
     # -u: stream child progress lines into our log as they happen.
     if cmd[0] == sys.executable and cmd[1] != "-u":
         cmd = [cmd[0], "-u", *cmd[1:]]
+    # Retry while the axon chip is claimed by a concurrent process (init-time
+    # only; see scripts/tpu_retry.py) — a multi-hour gate must not die to a
+    # transient health probe holding the TPU.
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "tpu_retry.py"),
+           "--", *cmd]
     subprocess.run(cmd, check=True, cwd=REPO, **kw)
 
 
