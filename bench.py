@@ -89,7 +89,7 @@ def run_bench(n_gaussians=500_000, width=1600, height=1200, iters=20,
     # still reports `dropped` and would fail loudly on overflow.
     from gs2m_tpu.ops.projection import project
     from gs2m_tpu.ops.binning import bin_gaussians
-    proj = project(g, cam, 3)
+    proj = project(g, cam, 3, opacities=g.get_opacity[:, 0])
     probe = bin_gaussians(proj, height, width, 16, 3 * 2 ** 20, chunk,
                           opacities=g.get_opacity[:, 0])
     n_inst = int(probe.num_instances)

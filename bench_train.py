@@ -99,7 +99,8 @@ def build_trainer(args):
     g0 = trainer.gaussians
     worst = 0
     for cam in scene.train_cameras:  # compiled once, fast per-view evals
-        proj = project(g0, cam, mc.sh_degree)
+        proj = project(g0, cam, mc.sh_degree,
+                       opacities=g0.get_opacity[:, 0])
         probe = bin_gaussians(proj, args.height, args.width, pipe.tile,
                               2 ** 22, pipe.chunk,
                               opacities=g0.get_opacity[:, 0])

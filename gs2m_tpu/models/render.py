@@ -61,7 +61,8 @@ def render(
 
     normals = gaussians.get_normals(camera.cam_center)
     features = build_features(gaussians, camera, z_depth=z_depth, normals=normals)
-    proj = project(gaussians, camera, active_sh_degree, tile=tile)
+    proj = project(gaussians, camera, active_sh_degree, tile=tile,
+                   opacities=gaussians.get_opacity[:, 0])
     out = rasterize_from_projected(
         proj, gaussians.get_opacity[:, 0], features, bg, camera,
         feature_count=feature_count, tile=tile, chunk=chunk,
@@ -69,6 +70,51 @@ def render(
         m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink)
     return derive_render_pkg(out, camera, bg, z_depth=z_depth,
                              sobel_normal=sobel_normal)
+
+
+def render_pair(
+    gaussians: Gaussians,
+    camera_a: Camera,
+    camera_b: Camera,
+    bg: jnp.ndarray,
+    active_sh_degree: int,
+    geometry_stage: bool = False,
+    material_stage: bool = False,
+    sobel_normal: bool = False,
+    blend_metallic: bool = False,
+    z_depth: bool = False,
+    tile: int = 16,
+    chunk: int = 256,
+    instance_cap: int = 2 ** 18,
+    m2d_sink: jnp.ndarray | None = None,
+    m2d_abs_sink: jnp.ndarray | None = None,
+) -> tuple[dict, dict]:
+    """Render the SAME Gaussians from two cameras through the fused pair
+    rasterizer (ops/rasterize.rasterize_pair_from_projected) — the geometry
+    train step's main + nearest renders share one instance gather and one
+    backward reduction. Pallas only; sinks and sobel apply to view a.
+    Outputs match two independent render(..., backend='pallas') calls."""
+    from gs2m_tpu.ops.rasterize import rasterize_pair_from_projected
+
+    feature_count = feature_count_for(geometry_stage, material_stage,
+                                      blend_metallic)
+    opac = gaussians.get_opacity[:, 0]
+    feats, projs = [], []
+    for cam in (camera_a, camera_b):
+        normals = gaussians.get_normals(cam.cam_center)
+        feats.append(build_features(gaussians, cam, z_depth=z_depth,
+                                    normals=normals))
+        projs.append(project(gaussians, cam, active_sh_degree, tile=tile,
+                             opacities=opac))
+    out_a, out_b = rasterize_pair_from_projected(
+        projs[0], projs[1], opac, feats[0], feats[1], bg,
+        camera_a, camera_b, feature_count=feature_count, tile=tile,
+        chunk=chunk, instance_cap=instance_cap,
+        m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink)
+    pkg_a = derive_render_pkg(out_a, camera_a, bg, z_depth=z_depth,
+                              sobel_normal=sobel_normal)
+    pkg_b = derive_render_pkg(out_b, camera_b, bg, z_depth=z_depth)
+    return pkg_a, pkg_b
 
 
 def derive_render_pkg(out, camera: Camera, bg: jnp.ndarray,

@@ -404,6 +404,64 @@ def _retile(g_img, g_fT, grid_y, grid_x, tile):
     return jnp.concatenate([gi, pad_i], 0), jnp.concatenate([gt, pad_t], 0)
 
 
+def _segmented_reduce(dvals, dgeom, expansion_id, gauss_offset,
+                      gauss_present, dropped, chunk):
+    """Deterministic per-Gaussian sum of per-instance gradients -> (K, C).
+
+    Each Gaussian's instances occupy a CONTIGUOUS range in EXPANSION order
+    (binning gauss_offset), so sum-per-Gaussian = prefix difference at the
+    range boundaries once the grads are in expansion-id order. The reorder
+    rides the K grad channels as `lax.sort` payloads (~53 ms at 3.1M x 24):
+    TPU gather cost scales with SOURCE-TABLE width, so a permutation gather
+    from the 3.1M-wide per-instance table costs ~109 ms — twice the sort —
+    even though the same-index gather from the 500k-wide per-GAUSSIAN table
+    costs only 25 ms (measured; see _gather_instances)."""
+    V = dvals.shape[0]
+    K = V + 8
+    I = expansion_id.shape[0]
+    C = gauss_offset.shape[0]
+    per_inst = jnp.concatenate([dvals, dgeom], axis=0)  # (K, I)
+    key = expansion_id  # already I for null slots (binning.py)
+    sorted_ops = jax.lax.sort((key,) + tuple(per_inst[k] for k in range(K)),
+                              num_keys=1, is_stable=False)
+    grads_exp = jnp.stack(sorted_ops[1:], axis=0)       # (K, I) rank order
+
+    # Rank of each segment boundary among the PRESENT ids. Fast path
+    # (dropped == 0, the steady state — the trainer grows the buffer on any
+    # drop): present ids are exactly the cull survivors, whose per-Gaussian
+    # counts binning already knows — an exclusive cumsum over C. Exact path
+    # (transient overflow): presence scatter + cumsum over I (~24 ms).
+    bounds = jnp.concatenate(
+        [gauss_offset, jnp.array([I], jnp.int32)])       # (C+1,) expansion ids
+
+    def rank_fast(_):
+        return jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                jnp.cumsum(gauss_present)])
+
+    def rank_exact(_):
+        pres = jnp.zeros((I + 1,), jnp.int32).at[key].add(1, mode="drop")[:I]
+        rank_excl = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(pres)])
+        return rank_excl[bounds]
+
+    r = jax.lax.cond(dropped == 0, rank_fast, rank_exact, None)  # (C+1,)
+
+    # Two-level prefix sum (bounded prefix magnitude — a single global f32
+    # cumsum makes per-Gaussian grads the difference of two huge prefixes):
+    # block-local inclusive cumsum + exclusive cumsum of block totals. The
+    # exclusive prefix at rank r is the inclusive prefix at r-1:
+    #   S(r) = blk_excl[(r-1)//B] + loc[(r-1)//B, (r-1)%B]   (0 for r == 0).
+    B = chunk  # I is a multiple of chunk by construction
+    nb = I // B
+    loc = jnp.cumsum(grads_exp.reshape(K, nb, B), axis=2)
+    blk = loc[:, :, -1]
+    blk_excl = jnp.cumsum(blk, axis=1) - blk             # (K, nb)
+    rm1 = jnp.clip(r - 1, 0, I - 1)
+    pos = (r > 0)[None, :]
+    S = jnp.where(pos, blk_excl[:, rm1 // B] + loc.reshape(K, I)[:, rm1], 0.0)
+    return S[:, 1:] - S[:, :-1]                          # (K, C)
+
+
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(14, 15, 16, 17, 18))
 def _blend_pallas_core(values, means2d, conics, opacities, abs_sink,
@@ -478,47 +536,8 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
     # table costs only 25 ms (measured; see _gather_instances).
     # Null slots carry key I and zero grads, sorting harmlessly to the tail.
     V = dvals.shape[0]
-    K = V + 8
-    per_inst = jnp.concatenate([dvals, dgeom], axis=0)  # (K, I)
-    key = expansion_id  # already I for null slots (binning.py)
-    sorted_ops = jax.lax.sort((key,) + tuple(per_inst[k] for k in range(K)),
-                              num_keys=1, is_stable=False)
-    grads_exp = jnp.stack(sorted_ops[1:], axis=0)       # (K, I) rank order
-
-    # Rank of each segment boundary among the PRESENT ids. Fast path
-    # (dropped == 0, the steady state — the trainer grows the buffer on any
-    # drop): present ids are exactly the cull survivors, whose per-Gaussian
-    # counts binning already knows — an exclusive cumsum over C. Exact path
-    # (transient overflow): presence scatter + cumsum over I (~24 ms).
-    bounds = jnp.concatenate(
-        [gauss_offset, jnp.array([I], jnp.int32)])       # (C+1,) expansion ids
-
-    def rank_fast(_):
-        return jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                jnp.cumsum(gauss_present)])
-
-    def rank_exact(_):
-        pres = jnp.zeros((I + 1,), jnp.int32).at[key].add(1, mode="drop")[:I]
-        rank_excl = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(pres)])
-        return rank_excl[bounds]
-
-    r = jax.lax.cond(dropped == 0, rank_fast, rank_exact, None)  # (C+1,)
-
-    # Two-level prefix sum (bounded prefix magnitude — a single global f32
-    # cumsum makes per-Gaussian grads the difference of two huge prefixes):
-    # block-local inclusive cumsum + exclusive cumsum of block totals. The
-    # exclusive prefix at rank r is the inclusive prefix at r-1:
-    #   S(r) = blk_excl[(r-1)//B] + loc[(r-1)//B, (r-1)%B]   (0 for r == 0).
-    B = chunk  # I is a multiple of chunk by construction
-    nb = I // B
-    loc = jnp.cumsum(grads_exp.reshape(K, nb, B), axis=2)
-    blk = loc[:, :, -1]
-    blk_excl = jnp.cumsum(blk, axis=1) - blk             # (K, nb)
-    rm1 = jnp.clip(r - 1, 0, I - 1)
-    pos = (r > 0)[None, :]
-    S = jnp.where(pos, blk_excl[:, rm1 // B] + loc.reshape(K, I)[:, rm1], 0.0)
-    acc = S[:, 1:] - S[:, :-1]                           # per-Gaussian sums
+    acc = _segmented_reduce(dvals, dgeom, expansion_id, gauss_offset,
+                            gauss_present, dropped, chunk)
 
     d_values = acc[0:V].T
     d_means2d = acc[V:V + 2].T
@@ -534,6 +553,139 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
 
 
 _blend_pallas_core.defvjp(_blend_fwd, _blend_bwd)
+
+
+# =============================================================================
+# Pair blend: two views of the SAME Gaussians in one custom_vjp
+# =============================================================================
+#
+# The geometry-stage train step renders the main AND the nearest camera every
+# iteration (trainer.py make_view_objective). Fusing both views into one vjp
+# shares the two expensive index-space passes whose TPU cost does NOT scale
+# with the index count:
+#   * ONE instance-table gather over a (8+V, 2C) source for BOTH views'
+#     instances (gather cost scales with source width, not indices — two
+#     separate I-sized gathers cost ~2x one 2I-sized gather)
+#   * ONE backward sort + rank + two-level prefix over the concatenated 2I
+#     instances (merged keys: view-b expansion ids offset by Ia)
+# The Pallas kernels themselves run once per view, unchanged. The merged
+# arrays stack view b's Gaussian rows after view a's (2C rows), so per-view
+# gradients split back by row range via the concatenate transpose.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _blend_pair_core(values2, means2d2, conics2, opacities2, abs_sink2,
+                     height: int, width: int, tile: int, chunk: int,
+                     interpret: bool, bin_a: Binning, bin_b: Binning):
+    out, _ = _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
+                       height, width, tile, chunk, interpret, bin_a, bin_b)
+    return out
+
+
+def _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
+              height, width, tile, chunk, interpret, bin_a, bin_b):
+    grid_y, grid_x = num_tiles(height, width, tile)
+    T = grid_y * grid_x
+    C = values2.shape[0] // 2
+    Ia = bin_a.gid.shape[0]
+    Ib = bin_b.gid.shape[0]
+
+    gid2 = jnp.concatenate([bin_a.gid, bin_b.gid + C])
+    null2 = jnp.concatenate([bin_a.is_null, bin_b.is_null])
+    geom2, vals2 = _gather_instances(values2, means2d2, conics2, opacities2,
+                                     gid2, null2)
+
+    outs = []
+    for b, sl in ((bin_a, slice(0, Ia)), (bin_b, slice(Ia, Ia + Ib))):
+        img_tiles, fT_tiles, clogT, cdone, obs = _run_forward(
+            geom2[:, sl], vals2[:, sl], b.chunk_tile, T=T,
+            n_chunks=(sl.stop - sl.start) // chunk, chunk=chunk, tile=tile,
+            grid_x=grid_x, width=width, height=height, interpret=interpret)
+        img, fT = _untile(img_tiles, fT_tiles[:, 0], b.tile_nonempty,
+                          grid_y, grid_x, tile)
+        obs_flat = jnp.where(b.is_null, 0, obs.reshape(-1))
+        outs.append((img, fT, obs_flat, clogT, cdone, fT_tiles))
+
+    observe2 = jnp.zeros((2 * C,), jnp.int32).at[gid2].add(
+        jnp.concatenate([outs[0][2], outs[1][2]]))
+
+    res = (geom2, vals2, gid2, outs[0][3], outs[0][4], outs[0][5],
+           outs[1][3], outs[1][4], outs[1][5], bin_a, bin_b)
+    return ((outs[0][0], outs[0][1], outs[1][0], outs[1][1], observe2), res)
+
+
+def _pair_bwd(height, width, tile, chunk, interpret, res, cts):
+    (geom2, vals2, gid2, clogT_a, cdone_a, fT_a,
+     clogT_b, cdone_b, fT_b, bin_a, bin_b) = res
+    g_img_a, g_fT_a, g_img_b, g_fT_b, _ = cts
+    grid_y, grid_x = num_tiles(height, width, tile)
+    T = grid_y * grid_x
+    Ia = bin_a.gid.shape[0]
+    Ib = bin_b.gid.shape[0]
+
+    dparts = []
+    for (b, sl, g_img, g_fT, clogT, cdone, fT) in (
+            (bin_a, slice(0, Ia), g_img_a, g_fT_a, clogT_a, cdone_a, fT_a),
+            (bin_b, slice(Ia, Ia + Ib), g_img_b, g_fT_b, clogT_b, cdone_b,
+             fT_b)):
+        g_img_tiles, g_fT_tiles = _retile(g_img, g_fT, grid_y, grid_x, tile)
+        dgeom, dvals = _run_backward(
+            geom2[:, sl], vals2[:, sl], b.chunk_tile, clogT, cdone,
+            g_img_tiles, g_fT_tiles, fT, T=T,
+            n_chunks=(sl.stop - sl.start) // chunk, chunk=chunk, tile=tile,
+            grid_x=grid_x, width=width, height=height, interpret=interpret)
+        dparts.append((dvals, dgeom))
+
+    V = dparts[0][0].shape[0]
+    dvals2 = jnp.concatenate([dparts[0][0], dparts[1][0]], axis=1)  # (V, 2I)
+    dgeom2 = jnp.concatenate([dparts[0][1], dparts[1][1]], axis=1)  # (8, 2I)
+
+    # Merged expansion keys/bounds: view b's ids and offsets shift by Ia;
+    # null slots must carry the MERGED I (sort-to-tail sentinel).
+    eid2 = jnp.concatenate([
+        jnp.where(bin_a.expansion_id == Ia, Ia + Ib, bin_a.expansion_id),
+        bin_b.expansion_id + Ia])
+    off2 = jnp.concatenate([bin_a.gauss_offset, bin_b.gauss_offset + Ia])
+    pres2 = jnp.concatenate([bin_a.gauss_present, bin_b.gauss_present])
+    dropped2 = bin_a.dropped + bin_b.dropped
+
+    acc = _segmented_reduce(dvals2, dgeom2, eid2, off2, pres2, dropped2,
+                            chunk)                       # (V+8, 2C)
+
+    d_values2 = acc[0:V].T
+    d_means2d2 = acc[V:V + 2].T
+    d_conics2 = acc[V + 2:V + 5].T
+    d_opac2 = acc[V + 5]
+    d_abs2 = acc[V + 6:V + 8].T
+    # Binnings are index-valued (int/bool leaves): float0 cotangents.
+    f0t = lambda t: jax.tree.map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), t)
+    return (d_values2, d_means2d2, d_conics2, d_opac2, d_abs2,
+            f0t(bin_a), f0t(bin_b))
+
+
+_blend_pair_core.defvjp(_pair_fwd, _pair_bwd)
+
+
+def blend_tiles_pallas_pair(values2, means2d2, conics2, opacities2,
+                            bin_a: Binning, bin_b: Binning,
+                            height: int, width: int, tile: int, chunk: int,
+                            m2d_abs_sink2=None,
+                            interpret: bool | None = None):
+    """Blend TWO views of the same scene in one custom_vjp (see pair-core
+    notes above). Inputs are the per-view arrays stacked along rows
+    (2C, ...): rows [0, C) = view a, rows [C, 2C) = view b — build them with
+    jnp.concatenate so the gradient splits back automatically. Returns
+    (BlendOut_a, BlendOut_b) with per-view observe counts."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if m2d_abs_sink2 is None:
+        m2d_abs_sink2 = jnp.zeros((values2.shape[0], 2), jnp.float32)
+    img_a, fT_a, img_b, fT_b, observe2 = _blend_pair_core(
+        values2, means2d2, conics2, opacities2, m2d_abs_sink2,
+        height, width, tile, chunk, interpret, bin_a, bin_b)
+    C = values2.shape[0] // 2
+    return (BlendOut(image=img_a, final_T=fT_a, observe=observe2[:C]),
+            BlendOut(image=img_b, final_T=fT_b, observe=observe2[C:]))
 
 
 def blend_tiles_pallas(values, means2d, conics, opacities, binning: Binning,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from gs2m_tpu.core import sh as shlib
@@ -129,8 +130,20 @@ def crop_projected(proj: Projected, y0: jnp.ndarray, local_height: int,
 
 
 def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
-            tile: int = 16, scale_modifier: float = 1.0) -> Projected:
-    """Vectorized preprocess over the padded capacity."""
+            tile: int = 16, scale_modifier: float = 1.0,
+            opacities: jnp.ndarray | None = None) -> Projected:
+    """Vectorized preprocess over the padded capacity.
+
+    `opacities` (C,), when given, tightens the tile rect to the
+    alpha >= 1/255 ellipse: the reference expands the full 3-sigma bbox
+    (auxiliary.h:44-53) but every pixel with op*exp(power) < 1/255 is skipped
+    by the blend on all backends (forward.cu:329 / ALPHA_MIN gate), so a
+    radius of sqrt(2*ln(255*op))*sigma covers every contributing pixel
+    exactly — capped at the reference's own 3-sigma truncation. Low-opacity
+    splats (e.g. right after opacity resets) shrink their instance footprint
+    quadratically; outputs and gradients are bit-identical because the
+    excluded pixels were gated to zero anyway. The reported `radii` stay at
+    the reference's 3-sigma definition (visibility semantics unchanged)."""
     xyz = gaussians.xyz
     W, H = camera.width, camera.height
     grid_x = (W + tile - 1) // tile
@@ -163,17 +176,34 @@ def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
     mid = 0.5 * (cov[:, 0] + cov[:, 2])
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, mid - disc)))
+    sigma_max = jnp.sqrt(jnp.maximum(lambda1, mid - disc))
+    radius = jnp.ceil(3.0 * sigma_max)
+
+    if opacities is None:
+        rect_radius = radius
+    else:
+        # Opacity-aware rect (see docstring): q = 2*ln(255*op) bounds the
+        # Mahalanobis form at the last alpha >= 1/255 pixel; +1e-3 keeps the
+        # bound conservative under f32 (same margin as the binning ellipse
+        # cull), and +1 px compensates the rect formula below, whose
+        # floor((px + r + T-1)/T) exclusive max under-covers by up to one
+        # pixel for fractional px + r (the reference formula has the same
+        # sliver at its 3-sigma boundary and tolerates it because alpha
+        # there is already below the gate). stop_gradient: index-valued.
+        op = jax.lax.stop_gradient(opacities)
+        q = 2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0)
+        r_op = jnp.sqrt((jnp.maximum(q, 0.0) + 1e-3) * jnp.maximum(lambda1, 0.0))
+        rect_radius = jnp.minimum(radius, jnp.ceil(r_op) + 1.0)
 
     px = ((p_proj[:, 0] + 1.0) * W - 1.0) * 0.5
     py = ((p_proj[:, 1] + 1.0) * H - 1.0) * 0.5
     means2d = jnp.stack([px, py], axis=-1)
 
     # Tile rect (auxiliary.h:44-53), computed on the culled-to-zero radius.
-    rect_min_x = jnp.clip(((px - radius) / tile).astype(jnp.int32), 0, grid_x)
-    rect_min_y = jnp.clip(((py - radius) / tile).astype(jnp.int32), 0, grid_y)
-    rect_max_x = jnp.clip(((px + radius + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
-    rect_max_y = jnp.clip(((py + radius + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+    rect_min_x = jnp.clip(((px - rect_radius) / tile).astype(jnp.int32), 0, grid_x)
+    rect_min_y = jnp.clip(((py - rect_radius) / tile).astype(jnp.int32), 0, grid_y)
+    rect_max_x = jnp.clip(((px + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+    rect_max_y = jnp.clip(((py + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
     area = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
 
     valid = in_front & det_ok & (area > 0) & gaussians.alive

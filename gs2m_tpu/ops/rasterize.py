@@ -128,6 +128,68 @@ def rasterize_from_projected(
                      radii=proj.radii, observe=observe, dropped=binning.dropped)
 
 
+def rasterize_pair_from_projected(
+    proj_a: Projected, proj_b: Projected,
+    opacities: jnp.ndarray,        # (C,) shared Gaussians
+    features_a: jnp.ndarray, features_b: jnp.ndarray,   # (C, 10) per view
+    bg: jnp.ndarray,
+    camera_a: Camera, camera_b: Camera,
+    feature_count: int = 10,
+    tile: int = 16,
+    chunk: int = 128,
+    instance_cap: int = 2 ** 17,
+    m2d_sink: jnp.ndarray | None = None,
+    m2d_abs_sink: jnp.ndarray | None = None,
+) -> tuple[RasterOut, RasterOut]:
+    """Two views of the SAME Gaussians through ONE pair custom_vjp
+    (ops/blend_pallas.blend_tiles_pallas_pair): shares the instance-table
+    gather and the backward segmented reduction between the main and the
+    neighbor render of a geometry train step. Pallas backend only; sinks
+    apply to view a (the main view). Cameras must share width/height."""
+    from gs2m_tpu.ops.blend_pallas import blend_tiles_pallas_pair
+
+    H, W = camera_a.height, camera_a.width
+    assert (camera_b.height, camera_b.width) == (H, W)
+    C = proj_a.means2d.shape[0]
+
+    means2d_a = proj_a.means2d
+    if m2d_sink is not None:
+        means2d_a = means2d_a + m2d_sink
+
+    bin_a = bin_gaussians(proj_a, H, W, tile, instance_cap, chunk,
+                          opacities=opacities)
+    bin_b = bin_gaussians(proj_b, H, W, tile, instance_cap, chunk,
+                          opacities=opacities)
+    values2 = jnp.concatenate([
+        pack_values(proj_a.colors, features_a, feature_count),
+        pack_values(proj_b.colors, features_b, feature_count)])
+    means2d2 = jnp.concatenate([means2d_a, proj_b.means2d])
+    conics2 = jnp.concatenate([proj_a.conics, proj_b.conics])
+    opacities2 = jnp.concatenate([opacities, opacities])
+    abs2 = None
+    if m2d_abs_sink is not None:
+        abs2 = jnp.concatenate([m2d_abs_sink,
+                                jnp.zeros_like(m2d_abs_sink)])
+
+    out_a, out_b = blend_tiles_pallas_pair(
+        values2, means2d2, conics2, opacities2, bin_a, bin_b, H, W, tile,
+        chunk, m2d_abs_sink2=abs2)
+
+    results = []
+    for out, proj, b in ((out_a, proj_a, bin_a), (out_b, proj_b, bin_b)):
+        image = out.image[:, :H, :W]
+        final_T = out.final_T[:H, :W]
+        color = image[0:3] + final_T[None] * bg[:, None, None]
+        buffer = image[3:13]
+        if buffer.shape[0] < 10:
+            buffer = jnp.concatenate(
+                [buffer, jnp.zeros((10 - buffer.shape[0], H, W), image.dtype)])
+        results.append(RasterOut(color=color, buffer=buffer, final_T=final_T,
+                                 radii=proj.radii, observe=out.observe,
+                                 dropped=b.dropped))
+    return results[0], results[1]
+
+
 def build_features(gaussians: Gaussians, camera: Camera,
                    z_depth: bool = False,
                    normals: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -69,7 +69,8 @@ def make_sp_render(mesh: Mesh, height: int, width: int, *,
 
         d = jax.lax.axis_index(axis)
         y0 = d * local_h
-        proj = project(gaussians, camera, active_sh_degree, tile=tile)
+        proj = project(gaussians, camera, active_sh_degree, tile=tile,
+                       opacities=gaussians.get_opacity[:, 0])
         proj = crop_projected(proj, y0, local_h, tile)
         feats = build_features(gaussians, camera)
         # rasterize only reads height/width from the camera (static meta).
@@ -135,7 +136,8 @@ def make_sp_grad(mesh: Mesh, height: int, width: int, *,
         d = jax.lax.axis_index(axis)
         y0 = d * local_h
         g = gaussians.with_params(params)
-        proj = project(g, camera, active_sh_degree, tile=tile)
+        proj = project(g, camera, active_sh_degree, tile=tile,
+                       opacities=g.get_opacity[:, 0])
         proj = crop_projected(proj, y0, local_h, tile)
         feats = build_features(g, camera)
         local_cam = dataclasses.replace(camera, height=local_h)

@@ -28,7 +28,7 @@ from gs2m_tpu.core.config import ModelConfig, OptimConfig, PipelineConfig
 from gs2m_tpu.core.gaussians import Gaussians
 from gs2m_tpu.data.scene import Scene, index_camera
 from gs2m_tpu.models import losses as L
-from gs2m_tpu.models.render import render
+from gs2m_tpu.models.render import render, render_pair
 from gs2m_tpu.train import densify as D
 from gs2m_tpu.train.optim import (AdamState, adam_init, adam_update, group_lrs,
                                   xyz_lr_schedule)
@@ -69,11 +69,25 @@ def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
         nearest_cam = index_camera(camera_stack, nearest_idx)
 
         g = gaussians.with_params(params)
-        pkg = render(g, cam, jnp.zeros(3), active_sh_degree,
-                     geometry_stage=geometry_stage,
-                     material_stage=material_stage,
-                     sobel_normal=geometry_stage,
-                     m2d_sink=sink, m2d_abs_sink=abs_sink, **render_kw)
+        npkg = None
+        if geometry_stage and backend == "pallas":
+            # Fused pair render: the main and nearest views share one
+            # instance-table gather and one backward segmented reduction
+            # (ops/blend_pallas pair core) — both TPU costs that do NOT
+            # scale with the instance count, so two-in-one is ~2x cheaper
+            # than two singles for those passes.
+            pair_kw = {k: v for k, v in render_kw.items() if k != "backend"}
+            pkg, npkg = render_pair(
+                g, cam, nearest_cam, jnp.zeros(3), active_sh_degree,
+                geometry_stage=geometry_stage, material_stage=material_stage,
+                sobel_normal=True, m2d_sink=sink, m2d_abs_sink=abs_sink,
+                **pair_kw)
+        else:
+            pkg = render(g, cam, jnp.zeros(3), active_sh_degree,
+                         geometry_stage=geometry_stage,
+                         material_stage=material_stage,
+                         sobel_normal=geometry_stage,
+                         m2d_sink=sink, m2d_abs_sink=abs_sink, **render_kw)
 
         rgb = jnp.clip(pkg["render"], 0.0, 1.0)
         Lrgb = L.rgb_loss(rgb, gt, opt.lambda_ssim)
@@ -87,9 +101,10 @@ def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
 
         Lgeo = jnp.float32(0.0)
         if geometry_stage:
-            npkg = render(g, nearest_cam, jnp.zeros(3), active_sh_degree,
-                          geometry_stage=True, material_stage=material_stage,
-                          **render_kw)
+            if npkg is None:
+                npkg = render(g, nearest_cam, jnp.zeros(3), active_sh_degree,
+                              geometry_stage=True,
+                              material_stage=material_stage, **render_kw)
             mv = L.multi_view_loss(
                 opt, cam, nearest_cam, pkg, npkg,
                 gray_images[view_idx], gray_images[nearest_idx],
@@ -115,10 +130,14 @@ def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
         # actually fired this run (a sparse neighbor graph silently zeroes
         # them; VERDICT r2 weak #3) — surfaced per step, accumulated device-
         # side by the Trainer, written to train_log.jsonl by the app.
+        # Neighbor-render overflow must trigger buffer growth too.
+        dropped = pkg["dropped"]
+        if npkg is not None:
+            dropped = jnp.maximum(dropped, npkg["dropped"])
         aux = {"Lrgb": Lrgb, "Lgeo": Lgeo, "Lmat": Lmat,
                "radii": pkg["radii"], "observe": pkg["observe"],
                "visibility": pkg["visibility_filter"],
-               "dropped": pkg["dropped"],
+               "dropped": dropped,
                "mv_active": (has_nearest if geometry_stage
                              else jnp.bool_(False)),
                "rough_active": rough_active}

@@ -231,3 +231,81 @@ def test_degenerate_conic_keeps_grads_finite():
         grads = jax.grad(loss)(g.params_dict())
         for k, v in grads.items():
             assert np.isfinite(np.asarray(v)).all(), f"{backend}/{k}"
+
+
+def test_pair_render_matches_two_singles():
+    """The fused pair render (models/render.render_pair — shared instance
+    gather + shared backward reduction) must reproduce two independent
+    pallas renders exactly: forward maps, observe counts, AND gradients
+    including both sink channels."""
+    import dataclasses
+
+    from gs2m_tpu.models.render import render, render_pair
+
+    from gs2m_tpu.core.camera import Camera
+
+    rng = np.random.default_rng(11)
+    g = make_scene(rng, n=300, capacity=512, sh_degree=2, random_pose=True)
+    cam_a = make_camera(96, 80)
+    th = 0.4
+    R = np.array([[np.cos(th), 0, np.sin(th)],
+                  [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    cam_b = Camera.create(R, np.array([0.3, 0.1, 4.0]), fovx=0.9, fovy=0.9,
+                          width=96, height=80)
+
+    kw = dict(tile=16, chunk=64, instance_cap=2 ** 14)
+
+    def single(params, sink, abs_sink):
+        g2 = g.with_params(params)
+        pkg = render(g2, cam_a, jnp.zeros(3), 2, geometry_stage=True,
+                     sobel_normal=True, m2d_sink=sink, m2d_abs_sink=abs_sink,
+                     backend="pallas", **kw)
+        npkg = render(g2, cam_b, jnp.zeros(3), 2, geometry_stage=True,
+                      backend="pallas", **kw)
+        return pkg, npkg
+
+    def paired(params, sink, abs_sink):
+        g2 = g.with_params(params)
+        return render_pair(g2, cam_a, cam_b, jnp.zeros(3), 2,
+                           geometry_stage=True, sobel_normal=True,
+                           m2d_sink=sink, m2d_abs_sink=abs_sink, **kw)
+
+    def loss_of(fn):
+        def f(params, sink, abs_sink):
+            pkg, npkg = fn(params, sink, abs_sink)
+            loss = (jnp.sum(pkg["render"] ** 2)
+                    + jnp.sum(pkg["depth_map"] ** 2)
+                    + 0.3 * jnp.sum(npkg["normal_map"] ** 2)
+                    + 0.7 * jnp.sum(npkg["depth_map"]))
+            return loss, (pkg, npkg)
+        return f
+
+    sink = jnp.zeros((g.capacity, 2))
+    abs_sink = jnp.zeros((g.capacity, 2))
+    params = g.params_dict()
+    (l_s, (pkg_s, npkg_s)), gr_s = jax.value_and_grad(
+        loss_of(single), argnums=(0, 1, 2), has_aux=True)(params, sink, abs_sink)
+    (l_p, (pkg_p, npkg_p)), gr_p = jax.value_and_grad(
+        loss_of(paired), argnums=(0, 1, 2), has_aux=True)(params, sink, abs_sink)
+
+    np.testing.assert_allclose(float(l_s), float(l_p), rtol=1e-6)
+    for a, b, tag in ((pkg_s, pkg_p, "main"), (npkg_s, npkg_p, "nbr")):
+        for key in ("render", "depth_map", "normal_map", "alpha_map",
+                    "final_T"):
+            np.testing.assert_allclose(np.asarray(a[key]), np.asarray(b[key]),
+                                       atol=1e-6, err_msg=f"{tag}/{key}")
+        np.testing.assert_array_equal(np.asarray(a["observe"]),
+                                      np.asarray(b["observe"]), f"{tag}/observe")
+    # Gradients agree up to prefix reassociation: the pair reduction's
+    # global block prefix spans BOTH views, so per-Gaussian grads are
+    # differences of larger f32 prefixes than in the single path — ~1e-3
+    # of the leaf scale on this workload (forward maps match at 1e-6; a
+    # structural bug would show O(1) relative errors on large elements).
+    for i, name in ((0, "params"), (1, "sink"), (2, "abs_sink")):
+        sa, pa = gr_s[i], gr_p[i]
+        for la, lb in zip(jax.tree.leaves(sa), jax.tree.leaves(pa)):
+            scale = np.abs(np.asarray(la)).max() + 1e-8
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=5e-3 * scale + 1e-9,
+                                       err_msg=name)

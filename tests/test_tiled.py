@@ -113,3 +113,53 @@ def test_xla_grads_match_golden():
     np.testing.assert_allclose(np.asarray(sink_x), np.asarray(sink_g),
                                atol=3e-5 * (np.abs(sink_g).max() + 1e-8), rtol=2e-3)
     assert np.abs(np.asarray(sink_g)).sum() > 0
+
+
+def test_opacity_aware_rect_output_identical():
+    """Tightening the tile rect to the alpha >= 1/255 ellipse
+    (ops/projection.project opacities=...) must be invisible: every excluded
+    pixel was already gated off by ALPHA_MIN, so outputs, observe counts AND
+    gradients are bit-identical to the full 3-sigma rect — only the
+    expansion size (instance-cap pressure) shrinks."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    g = make_scene(rng, n=400, capacity=512)
+    # Mixed opacities including the post-reset regime (sigmoid(-5) ~ 0.007).
+    g = dataclasses.replace(
+        g, opacity=jnp.asarray(rng.uniform(-5.0, 2.0, (512, 1)).astype(np.float32)))
+    cam = make_camera(160, 120)
+    opac = g.get_opacity[:, 0]
+    cap = 2 ** 16
+
+    def run(use_op):
+        def f(params):
+            g2 = g.with_params(params)
+            kw = {"opacities": g2.get_opacity[:, 0]} if use_op else {}
+            proj = project(g2, cam, 2, **kw)
+            out = rasterize_from_projected(
+                proj, g2.get_opacity[:, 0], build_features(g2, cam),
+                jnp.ones(3), cam, feature_count=5, chunk=64,
+                instance_cap=cap, backend="xla")
+            return (jnp.sum(out.color ** 2) + jnp.sum(out.buffer ** 2),
+                    (out.color, out.buffer, out.final_T, out.observe))
+        (loss, outs), grads = jax.value_and_grad(f, has_aux=True)(g.params_dict())
+        return outs, grads
+
+    proj_full = project(g, cam, 2)
+    proj_op = project(g, cam, 2, opacities=opac)
+    exp_full = int(jnp.sum(proj_full.tiles_touched))
+    exp_op = int(jnp.sum(proj_op.tiles_touched))
+    assert exp_op < exp_full  # the point of the feature
+    b = bin_gaussians(proj_op, 120, 160, 16, cap, 64, opacities=opac)
+    assert int(b.dropped) == 0
+
+    (c_f, buf_f, t_f, obs_f), g_f = run(False)
+    (c_o, buf_o, t_o, obs_o), g_o = run(True)
+    np.testing.assert_array_equal(np.asarray(c_f), np.asarray(c_o))
+    np.testing.assert_array_equal(np.asarray(buf_f), np.asarray(buf_o))
+    np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_o))
+    np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_o))
+    for k in g_f:
+        np.testing.assert_array_equal(np.asarray(g_f[k]), np.asarray(g_o[k]),
+                                      err_msg=f"param {k}")
