@@ -88,6 +88,7 @@ def render_pair(
     instance_cap: int = 2 ** 18,
     m2d_sink: jnp.ndarray | None = None,
     m2d_abs_sink: jnp.ndarray | None = None,
+    observe_b: bool = True,
 ) -> tuple[dict, dict]:
     """Render the SAME Gaussians from two cameras through the fused pair
     rasterizer (ops/rasterize.rasterize_pair_from_projected) — the geometry
@@ -110,7 +111,7 @@ def render_pair(
         projs[0], projs[1], opac, feats[0], feats[1], bg,
         camera_a, camera_b, feature_count=feature_count, tile=tile,
         chunk=chunk, instance_cap=instance_cap,
-        m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink)
+        m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink, observe_b=observe_b)
     pkg_a = derive_render_pkg(out_a, camera_a, bg, z_depth=z_depth,
                               sobel_normal=sobel_normal)
     pkg_b = derive_render_pkg(out_b, camera_b, bg, z_depth=z_depth)

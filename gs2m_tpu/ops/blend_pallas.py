@@ -572,17 +572,20 @@ _blend_pallas_core.defvjp(_blend_fwd, _blend_bwd)
 # arrays stack view b's Gaussian rows after view a's (2C rows), so per-view
 # gradients split back by row range via the concatenate transpose.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _blend_pair_core(values2, means2d2, conics2, opacities2, abs_sink2,
                      height: int, width: int, tile: int, chunk: int,
-                     interpret: bool, bin_a: Binning, bin_b: Binning):
+                     interpret: bool, observe_b: bool,
+                     bin_a: Binning, bin_b: Binning):
     out, _ = _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
-                       height, width, tile, chunk, interpret, bin_a, bin_b)
+                       height, width, tile, chunk, interpret, observe_b,
+                       bin_a, bin_b)
     return out
 
 
 def _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
-              height, width, tile, chunk, interpret, bin_a, bin_b):
+              height, width, tile, chunk, interpret, observe_b,
+              bin_a, bin_b):
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
     C = values2.shape[0] // 2
@@ -605,15 +608,21 @@ def _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
         obs_flat = jnp.where(b.is_null, 0, obs.reshape(-1))
         outs.append((img, fT, obs_flat, clogT, cdone, fT_tiles))
 
-    observe2 = jnp.zeros((2 * C,), jnp.int32).at[gid2].add(
-        jnp.concatenate([outs[0][2], outs[1][2]]))
+    # A 1-channel scatter-add costs ~8 ms/M updates on TPU; when the caller
+    # doesn't consume view b's observe (the train step only masks stats with
+    # the MAIN view's, reference train.py:225) skip its half of the updates.
+    if observe_b:
+        observe2 = jnp.zeros((2 * C,), jnp.int32).at[gid2].add(
+            jnp.concatenate([outs[0][2], outs[1][2]]))
+    else:
+        observe2 = jnp.zeros((2 * C,), jnp.int32).at[bin_a.gid].add(outs[0][2])
 
     res = (geom2, vals2, gid2, outs[0][3], outs[0][4], outs[0][5],
            outs[1][3], outs[1][4], outs[1][5], bin_a, bin_b)
     return ((outs[0][0], outs[0][1], outs[1][0], outs[1][1], observe2), res)
 
 
-def _pair_bwd(height, width, tile, chunk, interpret, res, cts):
+def _pair_bwd(height, width, tile, chunk, interpret, observe_b, res, cts):
     (geom2, vals2, gid2, clogT_a, cdone_a, fT_a,
      clogT_b, cdone_b, fT_b, bin_a, bin_b) = res
     g_img_a, g_fT_a, g_img_b, g_fT_b, _ = cts
@@ -670,7 +679,8 @@ def blend_tiles_pallas_pair(values2, means2d2, conics2, opacities2,
                             bin_a: Binning, bin_b: Binning,
                             height: int, width: int, tile: int, chunk: int,
                             m2d_abs_sink2=None,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            observe_b: bool = True):
     """Blend TWO views of the same scene in one custom_vjp (see pair-core
     notes above). Inputs are the per-view arrays stacked along rows
     (2C, ...): rows [0, C) = view a, rows [C, 2C) = view b — build them with
@@ -682,7 +692,7 @@ def blend_tiles_pallas_pair(values2, means2d2, conics2, opacities2,
         m2d_abs_sink2 = jnp.zeros((values2.shape[0], 2), jnp.float32)
     img_a, fT_a, img_b, fT_b, observe2 = _blend_pair_core(
         values2, means2d2, conics2, opacities2, m2d_abs_sink2,
-        height, width, tile, chunk, interpret, bin_a, bin_b)
+        height, width, tile, chunk, interpret, observe_b, bin_a, bin_b)
     C = values2.shape[0] // 2
     return (BlendOut(image=img_a, final_T=fT_a, observe=observe2[:C]),
             BlendOut(image=img_b, final_T=fT_b, observe=observe2[C:]))

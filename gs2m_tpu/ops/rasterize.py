@@ -140,6 +140,7 @@ def rasterize_pair_from_projected(
     instance_cap: int = 2 ** 17,
     m2d_sink: jnp.ndarray | None = None,
     m2d_abs_sink: jnp.ndarray | None = None,
+    observe_b: bool = True,
 ) -> tuple[RasterOut, RasterOut]:
     """Two views of the SAME Gaussians through ONE pair custom_vjp
     (ops/blend_pallas.blend_tiles_pallas_pair): shares the instance-table
@@ -173,7 +174,7 @@ def rasterize_pair_from_projected(
 
     out_a, out_b = blend_tiles_pallas_pair(
         values2, means2d2, conics2, opacities2, bin_a, bin_b, H, W, tile,
-        chunk, m2d_abs_sink2=abs2)
+        chunk, m2d_abs_sink2=abs2, observe_b=observe_b)
 
     results = []
     for out, proj, b in ((out_a, proj_a, bin_a), (out_b, proj_b, bin_b)):

@@ -81,7 +81,7 @@ def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
                 g, cam, nearest_cam, jnp.zeros(3), active_sh_degree,
                 geometry_stage=geometry_stage, material_stage=material_stage,
                 sobel_normal=True, m2d_sink=sink, m2d_abs_sink=abs_sink,
-                **pair_kw)
+                observe_b=False, **pair_kw)
         else:
             pkg = render(g, cam, jnp.zeros(3), active_sh_degree,
                          geometry_stage=geometry_stage,
