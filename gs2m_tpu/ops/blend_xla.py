@@ -127,8 +127,14 @@ def blend_tiles_xla(values: jnp.ndarray,    # (C, V) rows: rgb(3) + features
     logT0 = jnp.zeros((T + 1, P), values.dtype)
     done0 = jnp.zeros((T + 1, P), bool)
     acc0 = jnp.zeros((T + 1, V, P), values.dtype)
+    # Remat the chunk body: plain autodiff of the scan saves every chunk's
+    # (chunk, P) alpha/weight intermediates — O(I*P) residual memory OOMs
+    # above ~650k instances on one chip, capping gradient-parity checks
+    # below bench scale. Recomputing them in the backward sweep costs one
+    # extra forward pass and bounds residuals to the scan carries.
     (logT, _, acc), (obs_chunks, gid_chunks) = jax.lax.scan(
-        step, (logT0, done0, acc0), (gid, null, binning.chunk_tile))
+        jax.checkpoint(step), (logT0, done0, acc0),
+        (gid, null, binning.chunk_tile))
 
     observe = jnp.zeros((C,), jnp.int32).at[gid_chunks.reshape(-1)].add(
         obs_chunks.reshape(-1))
