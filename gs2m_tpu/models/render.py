@@ -30,7 +30,8 @@ from gs2m_tpu.core.camera import Camera
 from gs2m_tpu.core.gaussians import Gaussians
 from gs2m_tpu.ops.normals import normal_from_depth_image
 from gs2m_tpu.ops.projection import project
-from gs2m_tpu.ops.rasterize import build_features, rasterize_from_projected
+from gs2m_tpu.ops.rasterize import (build_features, observe_from_projected,
+                                    rasterize_from_projected)
 
 
 def feature_count_for(geometry_stage: bool, material_stage: bool,
@@ -70,6 +71,26 @@ def render(
         m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink)
     return derive_render_pkg(out, camera, bg, z_depth=z_depth,
                              sobel_normal=sobel_normal)
+
+
+def count_observed(
+    gaussians: Gaussians,
+    camera: Camera,
+    backend: str = "xla",
+    tile: int = 16,
+    chunk: int = 256,
+    instance_cap: int = 2 ** 18,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-Gaussian observe counts for THIS view + binning overflow scalar —
+    what the multi-view trim consumes (train.py:236-245), at a fraction of
+    render()'s cost: color-free projection (observe never depends on SH or
+    blended values) + a geometry-only blend sweep. Counts are bit-identical
+    to render(...)["observe"]."""
+    opac = gaussians.get_opacity[:, 0]
+    proj = project(gaussians, camera, 0, tile=tile, opacities=opac,
+                   with_colors=False)
+    return observe_from_projected(proj, opac, camera, tile=tile, chunk=chunk,
+                                  instance_cap=instance_cap, backend=backend)
 
 
 def render_pair(

@@ -210,6 +210,111 @@ def _run_forward(geom_t, vals_t, chunk_tile, *, T: int, n_chunks: int,
 
 
 # =============================================================================
+# Observe-only kernel (multi-view trim counting)
+# =============================================================================
+#
+# The per-1000-iteration observe trim (trainer.make_observe_counter, reference
+# train.py:236-245) only consumes the per-Gaussian observe COUNTS — an int32
+# visibility bit per view. Those depend solely on geometry (mean2d, conic,
+# opacity, depth order), never on the blended values, so the full forward
+# kernel's work per view is mostly waste there: the SH color eval, the V-wide
+# half of the instance gather, the per-chunk MXU value accumulation, and the
+# (n_chunks, P) backward carries. This kernel keeps only the alpha sweep +
+# transmittance recurrence + observe emission. Same compositing math
+# (_chunk_alpha_kernel/_compose) => counts are bit-identical to the forward's.
+
+def _obs_kernel(chunk_tile_ref,            # scalar prefetch (n_chunks,)
+                geom_ref,                  # (8, chunk)
+                obs_ref,                   # (1, 1, chunk) int32 out
+                logT_s, done_s,            # scratch (1, P)
+                *, tile: int, grid_x: int, width: int, height: int, P: int):
+    i = pl.program_id(0)
+    t = chunk_tile_ref[i]
+    prev_t = chunk_tile_ref[jnp.maximum(i - 1, 0)]
+    first_of_tile = jnp.logical_or(i == 0, t != prev_t)
+
+    @pl.when(first_of_tile)
+    def _():
+        logT_s[...] = jnp.zeros_like(logT_s)
+        done_s[...] = jnp.zeros_like(done_s)
+
+    all_done = jnp.all(done_s[...] > 0.0)
+
+    @pl.when(jnp.logical_not(all_done))
+    def _():
+        px, py = _pixel_coords(t, tile, grid_x, P)
+        alpha, _, _, _ = _chunk_alpha_kernel(geom_ref[...], px, py, width,
+                                             height)
+        _, logT_excl, contribute, logT_end, done_end = _compose(
+            alpha, logT_s[...], done_s[...])
+        obs_ref[0] = jnp.sum(
+            (contribute & (logT_excl > LOG_HALF)).astype(jnp.int32),
+            axis=1)[None, :]
+        logT_s[...] = logT_end
+        done_s[...] = done_end
+
+    @pl.when(all_done)
+    def _():
+        obs_ref[...] = jnp.zeros_like(obs_ref)
+
+
+def _gather_geom(means2d, conics, opacities, gid, is_null):
+    """Geometry-only instance table (8, I) — the observe pass never touches
+    values, so the gather source stays 8 rows instead of 8+V (gather cost
+    scales with source-table width; see _gather_instances)."""
+    C = means2d.shape[0]
+    src = jnp.concatenate(
+        [means2d, conics, opacities[:, None],
+         jnp.zeros((C, 2), means2d.dtype)], axis=-1).T          # (8, C)
+    src = jax.lax.optimization_barrier(src)
+    gid = jax.lax.optimization_barrier(gid)
+    tab = jax.lax.optimization_barrier(src[:, gid])             # (8, I)
+    return jnp.where(is_null[None, :], 0.0, tab)
+
+
+def observe_tiles_pallas(means2d, conics, opacities, binning: Binning,
+                         height: int, width: int, tile: int, chunk: int,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """Per-Gaussian observe counts (C,) int32 — identical to
+    blend_tiles_pallas(...).observe, at a fraction of the cost (no values, no
+    image, no backward carries). Non-differentiable (int32 output)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    grid_y, grid_x = num_tiles(height, width, tile)
+    I = binning.gid.shape[0]
+    n_chunks = I // chunk
+    P = tile * tile
+
+    geom_t = _gather_geom(means2d, conics, opacities, binning.gid,
+                          binning.is_null)
+    kernel = functools.partial(_obs_kernel, tile=tile, grid_x=grid_x,
+                               width=width, height=height, P=P)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((8, chunk), lambda i, ct: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda i, ct: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+        ],
+    )
+    obs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_chunks, 1, chunk), jnp.int32)],
+        interpret=interpret)(binning.chunk_tile, geom_t)[0]
+    C = means2d.shape[0]
+    return jnp.zeros((C,), jnp.int32).at[binning.gid].add(
+        jnp.where(binning.is_null, 0, obs.reshape(-1)))
+
+
+# =============================================================================
 # Backward kernel (reverse chunk sweep)
 # =============================================================================
 

@@ -131,7 +131,8 @@ def crop_projected(proj: Projected, y0: jnp.ndarray, local_height: int,
 
 def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
             tile: int = 16, scale_modifier: float = 1.0,
-            opacities: jnp.ndarray | None = None) -> Projected:
+            opacities: jnp.ndarray | None = None,
+            with_colors: bool = True) -> Projected:
     """Vectorized preprocess over the padded capacity.
 
     `opacities` (C,), when given, tightens the tile rect to the
@@ -210,10 +211,17 @@ def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
     radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
     tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)
 
-    # SH -> RGB (forward.cu:227-232); view dirs from the unclamped positions.
-    dirs = xyz - camera.cam_center[None, :]
-    dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
-    colors = shlib.sh_to_rgb(active_sh_degree, gaussians.get_features, dirs)
+    if with_colors:
+        # SH -> RGB (forward.cu:227-232); view dirs from the unclamped
+        # positions.
+        dirs = xyz - camera.cam_center[None, :]
+        dirs = dirs / jnp.sqrt(
+            jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
+        colors = shlib.sh_to_rgb(active_sh_degree, gaussians.get_features, dirs)
+    else:
+        # Color-free projection (observe counting: visibility depends only on
+        # geometry/opacity, never on the blended values).
+        colors = jnp.zeros((xyz.shape[0], 3), xyz.dtype)
 
     # Sanitize culled slots so no inf/NaN leaks into the blend or its
     # gradients (the CUDA kernel simply never touches culled Gaussians;

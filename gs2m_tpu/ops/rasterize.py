@@ -128,6 +128,37 @@ def rasterize_from_projected(
                      radii=proj.radii, observe=observe, dropped=binning.dropped)
 
 
+def observe_from_projected(
+    proj: Projected,
+    opacities: jnp.ndarray,       # (C,)
+    camera: Camera,
+    tile: int = 16,
+    chunk: int = 128,
+    instance_cap: int = 2 ** 17,
+    backend: str = "pallas",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-Gaussian observe counts (C,) int32 + binning `dropped` scalar,
+    WITHOUT blending any values — the multi-view trim (train.py:236-245)
+    consumes only visibility bits, which depend solely on geometry/opacity.
+    Identical counts to rasterize_from_projected(...).observe; the pallas
+    backend rides a geometry-only kernel (blend_pallas.observe_tiles_pallas),
+    other backends fall back to a zero-value blend."""
+    H, W = camera.height, camera.width
+    binning = bin_gaussians(proj, H, W, tile, instance_cap, chunk,
+                            opacities=opacities)
+    if backend == "pallas":
+        from gs2m_tpu.ops.blend_pallas import observe_tiles_pallas
+        observe = observe_tiles_pallas(proj.means2d, proj.conics, opacities,
+                                       binning, H, W, tile, chunk)
+    else:
+        C = proj.means2d.shape[0]
+        values = jnp.zeros((C, 8), proj.means2d.dtype)
+        out = blend_tiles_xla(values, proj.means2d, proj.conics, opacities,
+                              binning, H, W, tile, chunk)
+        observe = out.observe
+    return observe, binning.dropped
+
+
 def rasterize_pair_from_projected(
     proj_a: Projected, proj_b: Projected,
     opacities: jnp.ndarray,        # (C,) shared Gaussians

@@ -28,7 +28,7 @@ from gs2m_tpu.core.config import ModelConfig, OptimConfig, PipelineConfig
 from gs2m_tpu.core.gaussians import Gaussians
 from gs2m_tpu.data.scene import Scene, index_camera
 from gs2m_tpu.models import losses as L
-from gs2m_tpu.models.render import render, render_pair
+from gs2m_tpu.models.render import count_observed, render, render_pair
 from gs2m_tpu.train import densify as D
 from gs2m_tpu.train.optim import (AdamState, adam_init, adam_update, group_lrs,
                                   xyz_lr_schedule)
@@ -210,24 +210,30 @@ def make_observe_counter(scene: Scene, pipe: PipelineConfig, instance_cap: int,
     """Count, per Gaussian, in how many train views it is observed
     (train.py:236-245: observe > 0 per view, trim when seen in < 2 views).
     Also returns the max binning overflow across views — counts are only
-    trustworthy when it is zero."""
+    trustworthy when it is zero.
+
+    Rides the observe-only pass (models/render.count_observed): visibility
+    bits depend only on geometry/opacity, so the V-view sweep skips the SH
+    eval, the value-table gather, the image accumulation, and the backward
+    carries of a full render per view."""
     backend = backend or ("pallas" if pipe.use_pallas else "xla")
     camera_stack = scene.camera_stack
     V = len(scene.train_cameras)
-    render_kw = dict(backend=backend, tile=pipe.tile, chunk=pipe.chunk,
-                     instance_cap=instance_cap)
+    obs_kw = dict(backend=backend, tile=pipe.tile, chunk=pipe.chunk,
+                  instance_cap=instance_cap)
 
-    # active_sh_degree is TRACED (core/sh.py masks bands), so the per-1000-
-    # iter SH warmup bumps do NOT recompile — remote compiles cost minutes.
     @jax.jit
     def count(gaussians: Gaussians, active_sh_degree: int):
+        # active_sh_degree is accepted (and ignored — observe is color-free)
+        # so the Trainer call site stays stable across the SH warmup bumps.
+        del active_sh_degree
+
         def body(carry, v):
             counts, drop = carry
             cam = index_camera(camera_stack, v)
-            pkg = render(gaussians, cam, jnp.zeros(3), active_sh_degree,
-                         **render_kw)
-            return (counts + (pkg["observe"] > 0).astype(jnp.int32),
-                    jnp.maximum(drop, pkg["dropped"])), None
+            observe, dropped = count_observed(gaussians, cam, **obs_kw)
+            return (counts + (observe > 0).astype(jnp.int32),
+                    jnp.maximum(drop, dropped)), None
 
         (counts, drop), _ = jax.lax.scan(
             body, (jnp.zeros((gaussians.capacity,), jnp.int32), jnp.int32(0)),

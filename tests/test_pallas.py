@@ -309,3 +309,30 @@ def test_pair_render_matches_two_singles():
             np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                        atol=5e-3 * scale + 1e-9,
                                        err_msg=name)
+
+
+def test_observe_only_matches_full_blend():
+    """The geometry-only observe pass (blend_pallas.observe_tiles_pallas /
+    render.count_observed) must count bit-identically to the full forward —
+    it is the multi-view trim's input (train.py:236-245)."""
+    from gs2m_tpu.models.render import count_observed, render
+    from gs2m_tpu.ops.blend_pallas import observe_tiles_pallas
+
+    cam, g, proj, opa, values, binning, (h, w) = setup(seed=11, n=96)
+    out_p = blend_tiles_pallas(values, proj.means2d, proj.conics, opa, binning,
+                               h, w, 16, CHUNK, interpret=True)
+    obs = observe_tiles_pallas(proj.means2d, proj.conics, opa, binning,
+                               h, w, 16, CHUNK, interpret=True)
+    np.testing.assert_array_equal(np.asarray(obs), np.asarray(out_p.observe))
+    assert int(jnp.sum(obs)) > 0  # scene actually observes something
+
+    # End-to-end: count_observed (color-free projection + opacity-aware
+    # rects) vs the full render's observe, both backends, real opacities.
+    for backend in ("pallas", "xla"):
+        pkg = render(g, cam, jnp.zeros(3), g.max_sh_degree, backend=backend,
+                     chunk=CHUNK, instance_cap=2 ** 13)
+        counts, dropped = count_observed(g, cam, backend=backend, chunk=CHUNK,
+                                         instance_cap=2 ** 13)
+        assert int(dropped) == 0
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      np.asarray(pkg["observe"]), backend)
