@@ -122,16 +122,22 @@ def main(argv=None):
 
     t0 = time.time()
     if not args.skip_train:
-        run([py, "-m", "gs2m_tpu.apps.train",
+        # Auto-resume from the newest checkpoint on a mid-run tunnel drop
+        # (same policy as the production quality gate).
+        from scripts.run_quality_gate import run_train_resumable
+        test_iters = (2000, 5000, 7000, args.iterations)
+        run_train_resumable(
+            [py, "-m", "gs2m_tpu.apps.train",
              "-s", scene_dir, "-m", model_dir,
              "--mask_gt", "--material", "--eval", "--white_background",
              "--masks", "masks", "-r", "1",
              "--reflection_threshold", "0.2", "--lambda_smooth", "0.5",
              "--lambda_normal", "0.5",
              "--iterations", str(args.iterations),
-             "--test_iterations", *[str(v) for v in
-                                    (2000, 5000, 7000, args.iterations)],
-             "--save_iterations", str(args.iterations)])
+             "--test_iterations", *[str(v) for v in test_iters],
+             "--save_iterations", str(args.iterations),
+             "--checkpoint_iterations", *[str(v) for v in test_iters]],
+            model_dir)
     train_min = (time.time() - t0) / 60.0
 
     run([py, "-m", "gs2m_tpu.apps.render", "-m", model_dir,

@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run(cmd, **kw):
+def run(cmd, check=True, **kw):
     print("[run]", " ".join(cmd), flush=True)
     # -u: stream child progress lines into our log as they happen.
     if cmd[0] == sys.executable and cmd[1] != "-u":
@@ -44,7 +44,58 @@ def run(cmd, **kw):
     # transient health probe holding the TPU.
     cmd = [sys.executable, os.path.join(REPO, "scripts", "tpu_retry.py"),
            "--", *cmd]
-    subprocess.run(cmd, check=True, cwd=REPO, **kw)
+    return subprocess.run(cmd, check=check, cwd=REPO, **kw).returncode
+
+
+def latest_checkpoint(model_dir: str):
+    """(path, iteration) of the newest ckp*.pkl, or (None, -1)."""
+    ckpt_dir = os.path.join(model_dir, "checkpoints")
+    best, best_it = None, -1
+    if os.path.isdir(ckpt_dir):
+        for f in os.listdir(ckpt_dir):
+            if f.startswith("ckp") and f.endswith(".pkl"):
+                try:
+                    it = int(f[3:-4])
+                except ValueError:
+                    continue
+                if it > best_it:
+                    best, best_it = os.path.join(ckpt_dir, f), it
+    return best, best_it
+
+
+def run_train_resumable(train_cmd, model_dir: str, max_attempts: int = 5):
+    """Drive apps.train, auto-resuming from the newest checkpoint on crash.
+
+    A 30k-iteration production run takes hours through the axon tunnel; a
+    mid-run tunnel drop must cost at most one checkpoint interval, not the
+    whole run (train_log.jsonl is opened in append mode, so the PSNR
+    trajectory survives resume). Retries are only spent when the run is
+    making progress: a crash that does not advance the newest checkpoint
+    burns the single remaining retry and then raises.
+    """
+    last_it = latest_checkpoint(model_dir)[1]
+    stuck_retries = 1
+    for attempt in range(max_attempts):
+        ckpt, it = latest_checkpoint(model_dir)
+        cmd = list(train_cmd)
+        if ckpt is not None:
+            cmd += ["--start_checkpoint", ckpt]
+            print(f"[resume] attempt {attempt + 1}: from {ckpt}", flush=True)
+        rc = run(cmd, check=False)
+        if rc == 0:
+            return
+        new_it = latest_checkpoint(model_dir)[1]
+        if new_it <= last_it:
+            if stuck_retries == 0:
+                raise RuntimeError(
+                    f"train failed (rc={rc}) with no checkpoint progress "
+                    f"(stuck at iteration {new_it})")
+            stuck_retries -= 1
+        last_it = max(last_it, new_it)
+        print(f"[resume] train rc={rc}, newest checkpoint iter {new_it}; "
+              "retrying", flush=True)
+        time.sleep(30)
+    raise RuntimeError(f"train failed after {max_attempts} attempts")
 
 
 def sphere_chamfer(mesh_ply: str, radius: float = 1.0) -> dict:
@@ -142,12 +193,16 @@ def main(argv=None):
 
     t0 = time.time()
     if not args.skip_train:
-        run([py, "-m", "gs2m_tpu.apps.train",
+        # Checkpoint at every test iteration: the resume loop can then lose
+        # at most one eval interval to a tunnel drop.
+        run_train_resumable(
+            [py, "-m", "gs2m_tpu.apps.train",
              "-s", scene_dir, "-m", model_dir, "--eval", "-r", "1",
              "--iterations", str(args.iterations), *stage_flags,
              "--test_iterations", *[str(v) for v in test_iters],
              "--save_iterations", str(args.iterations),
-             "--checkpoint_iterations", *[str(v) for v in test_iters[-4:]]])
+             "--checkpoint_iterations", *[str(v) for v in test_iters]],
+            model_dir)
     train_min = (time.time() - t0) / 60.0
 
     voxel = "0.01" if args.production else "0.02"

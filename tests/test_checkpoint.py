@@ -76,3 +76,56 @@ def test_snapshot_ply_roundtrip(tmp_path):
                                np.asarray(tr.gaussians.xyz)[alive], atol=1e-6)
     np.testing.assert_allclose(np.asarray(g2.scaling),
                                np.asarray(tr.gaussians.scaling)[alive], atol=1e-6)
+
+
+def test_gate_resume_policy(tmp_path, monkeypatch):
+    """The quality-gate auto-resume loop: picks the newest checkpoint, passes
+    --start_checkpoint, spends retries only while checkpoints advance, and
+    raises once a crash stops making progress."""
+    from scripts import run_quality_gate as qg
+
+    model = tmp_path / "model"
+    ckdir = model / "checkpoints"
+    ckdir.mkdir(parents=True)
+
+    # latest_checkpoint: empty dir, then max-iteration file wins.
+    assert qg.latest_checkpoint(str(tmp_path / "nope")) == (None, -1)
+    for it in (1000, 5000, 25000):
+        (ckdir / f"ckp{it}.pkl").write_bytes(b"x")
+    (ckdir / "ckpjunk.pkl").write_bytes(b"x")  # ignored, not an int
+    path, it = qg.latest_checkpoint(str(model))
+    assert it == 25000 and path.endswith("ckp25000.pkl")
+
+    # Fake runner: fails twice (progress, then no progress twice -> raise).
+    calls = []
+
+    def fake_run(cmd, check=True, **kw):
+        calls.append(list(cmd))
+        if len(calls) == 1:  # crash, but a new checkpoint appeared
+            (ckdir / "ckp26000.pkl").write_bytes(b"x")
+            return 1
+        return 1  # crash with no progress
+
+    monkeypatch.setattr(qg, "run", fake_run)
+    monkeypatch.setattr(qg.time, "sleep", lambda s: None)
+    try:
+        qg.run_train_resumable(["train"], str(model), max_attempts=9)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "no checkpoint progress" in str(e)
+    # attempt 1 resumes from 25000 (progress -> free retry), attempt 2 from
+    # the new 26000 (no progress -> burns the stuck retry), attempt 3 (no
+    # progress, no retries left) raises.
+    assert [c[c.index("--start_checkpoint") + 1].split("ckp")[-1]
+            for c in calls] == ["25000.pkl", "26000.pkl", "26000.pkl"]
+
+    # Success path: first call returns 0, no retries.
+    calls.clear()
+
+    def ok_run(cmd, check=True, **kw):
+        calls.append(list(cmd))
+        return 0
+
+    monkeypatch.setattr(qg, "run", ok_run)
+    qg.run_train_resumable(["train"], str(model))
+    assert len(calls) == 1
