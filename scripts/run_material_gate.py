@@ -112,8 +112,9 @@ def main(argv=None):
 
     if not os.path.exists(os.path.join(scene_dir, "sparse/0/images.bin")):
         print("[>] Building glossy scene", flush=True)
+        # GT renders on the chip: 36 views at 400x300 through the XLA twin
+        # is seconds on TPU but hours on this 1-core host.
         run([py, "-c",
-             "import jax; jax.config.update('jax_platforms', 'cpu');"
              "import sys; sys.path.insert(0, 'tests');"
              "from make_synthetic_scene import build_glossy;"
              f"build_glossy('{scene_dir}', n_views={args.views}, "

@@ -143,13 +143,33 @@ def main(argv=None):
                          "every 100, trim every 1k, resets every 3k), "
                          "noise-textured sphere so densification has to work "
                          "at production point counts")
+    ap.add_argument("--smoke", action="store_true",
+                    help="with --production: exercise the exact production "
+                         "code path (noise texture, sparse SfM cloud, DTU "
+                         "schedule flags) at tiny scale on CPU, so a config "
+                         "bug surfaces in minutes instead of hours into a "
+                         "TPU run")
     args = ap.parse_args(argv)
 
+    if args.production and args.out == ap.get_default("out"):
+        # NEVER share the default out dir with the 5k gate: an existing
+        # small scene there would be silently reused (the build step is
+        # skipped when scene/sparse/0 exists) and the 30k run would train
+        # at the wrong resolution.
+        args.out = ("/tmp/gs2m_production_smoke" if args.smoke
+                    else "/tmp/gs2m_production")
+
     if args.production:
-        args.width, args.height = 800, 600
-        args.views = 49
-        args.points = 40_000
-        args.iterations = 30_000
+        if args.smoke:
+            args.width, args.height = 120, 90
+            args.views = 8
+            args.points = 1_500
+            args.iterations = 600
+        else:
+            args.width, args.height = 800, 600
+            args.views = 49
+            args.points = 40_000
+            args.iterations = 30_000
 
     scene_dir = os.path.join(args.out, "scene")
     model_dir = os.path.join(args.out, "model")
@@ -163,11 +183,14 @@ def main(argv=None):
             # true points (densification must recover the rest). GT renders
             # on the chip — 49 views at 800x600 through the XLA twin is CPU-
             # hostile but seconds on TPU.
+            scale = 0.02 if not args.smoke else 0.06
+            cap = "2**20" if not args.smoke else "2**15"
             build_args = (f"n_points={args.points}, surface=True, "
-                          "opacity_boost=8.0, point_scale=0.02, "
+                          f"opacity_boost=8.0, point_scale={scale}, "
                           "texture='noise', sfm_fraction=0.25, "
-                          "instance_cap=2**20")
-            dev_prelude = ""
+                          f"instance_cap={cap}")
+            dev_prelude = ("import jax; jax.config.update('jax_platforms', "
+                           "'cpu');") if args.smoke else ""
         else:
             build_args = (f"n_points={args.points}, surface=True, "
                           "opacity_boost=8.0, point_scale=0.05")
@@ -179,7 +202,17 @@ def main(argv=None):
              f"build('{scene_dir}', n_views={args.views}, "
              f"width={args.width}, height={args.height}, {build_args})"])
 
-    if args.production:
+    if args.production and args.smoke:
+        # Same flag surface as production, schedule compressed so geometry
+        # stage, densify, trim and reset all fire within the 600 iterations.
+        stage_flags = ["--lambda_depth_normal", "0.015",
+                       "--geometry_from_iter", "200",
+                       "--densify_from_iter", "100",
+                       "--densify_until_iter", "500",
+                       "--opacity_reset_interval", "400",
+                       "--device", "cpu", "--no-use_pallas", "--chunk", "64"]
+        test_iters = (200, 400, args.iterations)
+    elif args.production:
         # The reference DTU protocol (scripts/run_dtu.py:21): default
         # schedule, lambda_depth_normal 0.015, full test-iteration ladder.
         stage_flags = ["--lambda_depth_normal", "0.015"]
@@ -205,12 +238,18 @@ def main(argv=None):
             model_dir)
     train_min = (time.time() - t0) / 60.0
 
-    voxel = "0.01" if args.production else "0.02"
+    smoke = args.production and args.smoke
+    voxel = "0.03" if smoke else ("0.01" if args.production else "0.02")
+    dev_flags = ["--device", "cpu"] if smoke else []
     run([py, "-m", "gs2m_tpu.apps.render", "-m", model_dir,
          "--extract_mesh", "--voxel_size", voxel,
          "--sdf_trunc", str(4 * float(voxel)),
-         "--iteration", str(args.iterations)])
-    run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir])
+         "--iteration", str(args.iterations), *dev_flags])
+    run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir, *dev_flags])
+    # Held-out metrics (the gate's metrics_test field): the metrics app
+    # defaults to the train split; --eval runs have a test split too.
+    run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir,
+         "--split", "test", *dev_flags])
 
     mesh_dir = None
     for root, dirs, files in os.walk(model_dir):
