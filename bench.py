@@ -131,18 +131,32 @@ def run_bench(n_gaussians=500_000, width=1600, height=1200, iters=20,
 
 def main():
     res = run_bench()
+    # The auxiliary gates must not be able to eat the headline metric: the
+    # driver contract is ONE JSON line no matter what, so a crash in either
+    # (tunnel flake, OOM) is recorded as an error field + nonzero exit, not
+    # an empty stdout.
+    aux_err = None
     # Adversarial heavy-tailed workload (fewer Gaussians, far more instances
     # per Gaussian — the post-SfM regime) so the headline can't hide behind a
     # kernel-friendly uniform slab.
-    heavy = run_bench(n_gaussians=150_000, heavy_tail=True)
+    try:
+        heavy = run_bench(n_gaussians=150_000, heavy_tail=True)
+    except Exception as e:  # noqa: BLE001 — recorded, re-raised via exit code
+        heavy = {"mpixels_per_s": float("nan"), "instances": 0}
+        aux_err = f"heavy: {type(e).__name__}: {e}"
     # Gradient-parity gate in the SAME session (VERDICT r2 #4): every perf
     # round re-proves pallas-vs-autodiff grads at production scale. Summary
     # rides this JSON line; breach fails the bench loudly.
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "scripts"))
     from check_grads_onchip import run_grad_check
-    grad_report, grad_ok = run_grad_check()
-    grad_worst = max(v["mixed_rel_max"] for v in grad_report.values())
+    try:
+        grad_report, grad_ok = run_grad_check()
+        grad_worst = max(v["mixed_rel_max"] for v in grad_report.values())
+    except Exception as e:  # noqa: BLE001
+        grad_report, grad_ok, grad_worst = {}, False, float("nan")
+        aux_err = (aux_err + "; " if aux_err else "") + \
+            f"grad: {type(e).__name__}: {e}"
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
     if os.path.exists(base_path):
@@ -160,16 +174,21 @@ def main():
         "vs_baseline": round(res["mpixels_per_s"] / base, 3),
         "vs_target": round(res["mpixels_per_s"] / TARGET_MPIX_S, 3),
         "target_mpixels_per_s": TARGET_MPIX_S,
-        "heavy_mpixels_per_s": round(heavy["mpixels_per_s"], 2),
+        "heavy_mpixels_per_s": round(heavy["mpixels_per_s"], 2)
+        if heavy["mpixels_per_s"] == heavy["mpixels_per_s"] else None,
         "heavy_instances": heavy["instances"],
         "grad_check_pass": grad_ok,
-        "grad_worst_mixed_rel": round(grad_worst, 6),
+        "grad_worst_mixed_rel": round(grad_worst, 6)
+        if grad_worst == grad_worst else None,
+        **({"aux_error": aux_err} if aux_err else {}),
     }))
-    if not grad_ok:
-        import sys as _s
+    if not grad_ok or aux_err:
         bad = {k: v for k, v in grad_report.items() if not v["pass"]}
-        print(f"GRAD GATE BREACH: {json.dumps(bad)}", file=_s.stderr)
-        _s.exit(1)
+        if bad:
+            print(f"GRAD GATE BREACH: {json.dumps(bad)}", file=sys.stderr)
+        if aux_err:
+            print(f"AUX GATE ERROR: {aux_err}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
