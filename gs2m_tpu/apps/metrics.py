@@ -66,6 +66,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     split_dir = Path(args.model_path) / args.split
+    if not split_dir.is_dir():
+        # A missing split (e.g. --split test on a non---eval run) is an
+        # empty result, not a crash — gates call this unconditionally.
+        print(f"[!] No {args.split} renders under {args.model_path}")
+        sys.exit(0)
     results = {}
     for method_dir in sorted(split_dir.iterdir()):
         if not (method_dir / "render").exists():

@@ -16,8 +16,11 @@ import glob
 import gzip
 import json
 import os
+import sys
 import tempfile
 from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def collect_trace(tracedir: str):
@@ -72,10 +75,17 @@ def main():
                     help="profile the FULL Trainer geometry step at "
                          "bench_train config instead of the bare render step")
     ap.add_argument("--preset", default="steady", choices=["steady", "early"])
+    ap.add_argument("--device", default="",
+                    help="force a jax platform (e.g. cpu for a smoke run; "
+                         "the JAX_PLATFORMS env var is clobbered by the "
+                         "axon plugin, only config.update works)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
 
     if args.train:
         # The real thing: Trainer train_step (main+neighbor render, staged

@@ -144,6 +144,8 @@ def main(argv=None):
     run([py, "-m", "gs2m_tpu.apps.render", "-m", model_dir,
          "--iteration", str(args.iterations), "--label", "ours"])
     run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir])
+    # Held-out PBR metrics — the gate's metrics["test"] field reads this.
+    run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir, "--split", "test"])
 
     # Gate checks.
     light_pkl = os.path.join(model_dir, "point_cloud",
