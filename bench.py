@@ -129,61 +129,103 @@ def run_bench(n_gaussians=500_000, width=1600, height=1200, iters=20,
             "gaussians": n_gaussians}
 
 
-def main():
-    res = run_bench()
-    # The auxiliary gates must not be able to eat the headline metric: the
-    # driver contract is ONE JSON line no matter what, so a crash in either
-    # (tunnel flake, OOM) is recorded as an error field + nonzero exit, not
-    # an empty stdout.
+def _emit(obj):
+    """The ONE stdout JSON line the driver contract requires."""
+    print(json.dumps(obj), flush=True)
+
+
+def main(argv=None):
+    # Contract (CLAUDE.md / driver): bench.py prints exactly ONE JSON line on
+    # stdout no matter what. BENCH_r03 proved the old structure could break
+    # it two ways: a backend-init failure inside run_bench() escaped as a
+    # traceback, and the aux gates ran BEFORE the headline was printed, so a
+    # hard kill (OOM abort, campaign SIGKILL) left stdout empty. Now: the
+    # headline is computed under try/except (error -> JSON error line +
+    # nonzero exit) and printed IMMEDIATELY; the aux gates run afterwards and
+    # report only via stderr + BENCH_AUX.json.
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--device", default=None,
+                   help="force a JAX platform in-process (env JAX_PLATFORMS "
+                        "is clobbered by the axon plugin in this image)")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny CPU-friendly workload; skips aux gates and "
+                        "does not touch BENCH_BASELINE.json")
+    p.add_argument("--skip-aux", action="store_true")
+    args = p.parse_args(argv)
+    if args.device:
+        import jax
+        jax.config.update("jax_platforms", args.device)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        if args.smoke:
+            res = run_bench(n_gaussians=2_000, width=256, height=192, iters=2)
+        else:
+            res = run_bench()
+    except BaseException as e:  # noqa: BLE001 — contract: one line, always
+        _emit({"metric": "fwd_bwd_mpixels_per_s", "value": None,
+               "unit": "Mpixel/s", "vs_baseline": None,
+               "error": f"{type(e).__name__}: {e}"})
+        raise SystemExit(1)
+
+    base_path = os.path.join(here, "BENCH_BASELINE.json")
+    base = None
+    if not args.smoke:
+        if os.path.exists(base_path):
+            with open(base_path) as f:
+                base = json.load(f)["value"]
+        else:
+            base = res["mpixels_per_s"]
+            with open(base_path, "w") as f:
+                json.dump({"metric": "fwd_bwd_mpixels_per_s", "value": base,
+                           "note": "first recorded run (this repo's own r1)"},
+                          f)
+    _emit({
+        "metric": "fwd_bwd_mpixels_per_s",
+        "value": round(res["mpixels_per_s"], 2),
+        "unit": "Mpixel/s",
+        "vs_baseline": round(res["mpixels_per_s"] / base, 3) if base else None,
+        "vs_target": round(res["mpixels_per_s"] / TARGET_MPIX_S, 3),
+        "target_mpixels_per_s": TARGET_MPIX_S,
+        "step_ms": round(res["step_ms"], 2),
+        "instances": res["instances"],
+    })
+    if args.smoke or args.skip_aux:
+        return
+
+    # ---- auxiliary gates: stderr + BENCH_AUX.json only, never stdout ----
+    aux = {}
     aux_err = None
     # Adversarial heavy-tailed workload (fewer Gaussians, far more instances
     # per Gaussian — the post-SfM regime) so the headline can't hide behind a
     # kernel-friendly uniform slab.
     try:
         heavy = run_bench(n_gaussians=150_000, heavy_tail=True)
+        aux["heavy_mpixels_per_s"] = round(heavy["mpixels_per_s"], 2)
+        aux["heavy_instances"] = heavy["instances"]
     except Exception as e:  # noqa: BLE001 — recorded, re-raised via exit code
-        heavy = {"mpixels_per_s": float("nan"), "instances": 0}
         aux_err = f"heavy: {type(e).__name__}: {e}"
     # Gradient-parity gate in the SAME session (VERDICT r2 #4): every perf
-    # round re-proves pallas-vs-autodiff grads at production scale. Summary
-    # rides this JSON line; breach fails the bench loudly.
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "scripts"))
+    # round re-proves pallas-vs-autodiff grads at production scale.
+    sys.path.insert(0, os.path.join(here, "scripts"))
     from check_grads_onchip import run_grad_check
+    grad_report, grad_ok = {}, False
     try:
         grad_report, grad_ok = run_grad_check()
-        grad_worst = max(v["mixed_rel_max"] for v in grad_report.values())
+        aux["grad_check_pass"] = grad_ok
+        aux["grad_worst_mixed_rel"] = round(
+            max(v["mixed_rel_max"] for v in grad_report.values()), 6)
     except Exception as e:  # noqa: BLE001
-        grad_report, grad_ok, grad_worst = {}, False, float("nan")
         aux_err = (aux_err + "; " if aux_err else "") + \
             f"grad: {type(e).__name__}: {e}"
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_BASELINE.json")
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            base = json.load(f)["value"]
-    else:
-        base = res["mpixels_per_s"]
-        with open(base_path, "w") as f:
-            json.dump({"metric": "fwd_bwd_mpixels_per_s", "value": base,
-                       "note": "first recorded run (this repo's own r1)"}, f)
-    print(json.dumps({
-        "metric": "fwd_bwd_mpixels_per_s",
-        "value": round(res["mpixels_per_s"], 2),
-        "unit": "Mpixel/s",
-        "vs_baseline": round(res["mpixels_per_s"] / base, 3),
-        "vs_target": round(res["mpixels_per_s"] / TARGET_MPIX_S, 3),
-        "target_mpixels_per_s": TARGET_MPIX_S,
-        "heavy_mpixels_per_s": round(heavy["mpixels_per_s"], 2)
-        if heavy["mpixels_per_s"] == heavy["mpixels_per_s"] else None,
-        "heavy_instances": heavy["instances"],
-        "grad_check_pass": grad_ok,
-        "grad_worst_mixed_rel": round(grad_worst, 6)
-        if grad_worst == grad_worst else None,
-        **({"aux_error": aux_err} if aux_err else {}),
-    }))
+    if aux_err:
+        aux["aux_error"] = aux_err
+    with open(os.path.join(here, "BENCH_AUX.json"), "w") as f:
+        json.dump(aux, f, indent=1)
+    print(f"AUX: {json.dumps(aux)}", file=sys.stderr)
     if not grad_ok or aux_err:
-        bad = {k: v for k, v in grad_report.items() if not v["pass"]}
+        bad = {k: v for k, v in grad_report.items() if not v.get("pass")}
         if bad:
             print(f"GRAD GATE BREACH: {json.dumps(bad)}", file=sys.stderr)
         if aux_err:

@@ -18,6 +18,7 @@ which is exactly "continue without updating T".
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -26,7 +27,10 @@ import jax.numpy as jnp
 
 from gs2m_tpu.ops.binning import Binning, num_tiles
 
-LOG_EPS = float(jnp.log(1e-4))  # termination threshold (forward.cu:336)
+# math.log, NOT jnp.log: a module-level jnp expression initializes the JAX
+# backend at import time, which turns a dead device tunnel into an
+# ImportError for the whole package (this ate BENCH_r03).
+LOG_EPS = math.log(1e-4)  # termination threshold (forward.cu:336)
 ALPHA_MIN = 1.0 / 255.0
 
 
