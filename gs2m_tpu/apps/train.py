@@ -70,6 +70,13 @@ def main(argv=None):
 
     print(f"[>] Loading scene: {model_cfg.source_path}")
     multi_host = args.distributed and jax.process_count() > 1
+    if multi_host and not args.data_parallel:
+        # Without DP the trainer's view pool stays global while each host
+        # only loaded its own image subset (other rows zeroed) — a host
+        # would silently train against zero GTs. Refuse the combination.
+        raise SystemExit("--distributed with >1 process requires "
+                         "--data_parallel (per-host view partitions only "
+                         "make sense under the DP mesh)")
     if multi_host:
         # Per-host input pipeline (SURVEY §2.4): build the neighbor graph
         # first, then read only this host's view partition + its neighbor

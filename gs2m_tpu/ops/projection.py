@@ -143,8 +143,11 @@ def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
     exactly — capped at the reference's own 3-sigma truncation. Low-opacity
     splats (e.g. right after opacity resets) shrink their instance footprint
     quadratically; outputs and gradients are bit-identical because the
-    excluded pixels were gated to zero anyway. The reported `radii` stay at
-    the reference's 3-sigma definition (visibility semantics unchanged)."""
+    excluded pixels were gated to zero anyway. The reported `radii` AND the
+    `valid` flag both keep the reference's 3-sigma definition (a splat whose
+    3-sigma rect overlaps the screen stays visible for densify/prune
+    accounting even when its tightened rect is empty); only tiles_touched
+    and the emitted rect use the tightened radius."""
     xyz = gaussians.xyz
     W, H = camera.width, camera.height
     grid_x = (W + tile - 1) // tile
@@ -207,7 +210,17 @@ def project(gaussians: Gaussians, camera: Camera, active_sh_degree: int,
     rect_max_y = jnp.clip(((py + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
     area = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
 
-    valid = in_front & det_ok & (area > 0) & gaussians.alive
+    # Visibility bookkeeping (valid -> radii -> visibility_filter -> densify
+    # denominators / prune-by-visibility) keeps the reference's 3-sigma rect
+    # semantics even when the opacity-tightened rect falls off-screen; only
+    # the instance expansion (tiles_touched + the emitted rect) uses the
+    # tightened rect, which is pixel-output-identical by construction.
+    area3_x = (jnp.clip(((px + radius + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+               - jnp.clip(((px - radius) / tile).astype(jnp.int32), 0, grid_x))
+    area3_y = (jnp.clip(((py + radius + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+               - jnp.clip(((py - radius) / tile).astype(jnp.int32), 0, grid_y))
+
+    valid = in_front & det_ok & (area3_x * area3_y > 0) & gaussians.alive
     radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
     tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)
 

@@ -298,6 +298,7 @@ class Trainer:
 
         self._steps: dict[tuple, Callable] = {}
         self._observe_counter = None
+        self._image_stacks = None  # lazy (gt, alpha, gray), see _global_stacks
         # Device-side running max of binning drops since the last boundary
         # check — a lazy jnp.maximum per step (no host sync), so a drop burst
         # anywhere in the window triggers growth, not just on the 100th iter.
@@ -362,6 +363,39 @@ class Trainer:
             self._view_pool = pool
         return self._view_pool.pop()
 
+    def _global_stacks(self):
+        """The (gt, alpha, gray) image stacks as arrays legal to pass into
+        the global-mesh jitted step.
+
+        Single-process: the scene's device stacks pass straight through.
+        Multi-host: each host loaded only its view-closure subset (other
+        rows zeroed), so the per-host values INTENTIONALLY diverge — a
+        device only ever gathers rows from its own host's closure
+        (partition_views + host_view_closure guarantee it). Passing the
+        host-local arrays directly into a jitted function over the global
+        mesh is undefined under JAX's multi-controller contract (it assumes
+        replicated inputs are value-identical), so wrap them explicitly via
+        make_array_from_process_local_data with a replicated sharding: each
+        host's devices keep that host's buffer, no communication happens,
+        and dispatch-time sharding checks see one coherent global array."""
+        if self._image_stacks is not None:
+            return self._image_stacks
+        gt = self.scene.gt_images
+        alpha = self.scene.alpha_masks
+        gray = (self.scene.gray_images
+                if self.scene.gray_images is not None else gt[:, :1])
+        if self.mesh is not None and self.process_count > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(self.mesh, PartitionSpec())
+
+            def wrap(x):
+                return jax.make_array_from_process_local_data(
+                    rep, np.asarray(x))
+
+            gt, alpha, gray = wrap(gt), wrap(alpha), wrap(gray)
+        self._image_stacks = (gt, alpha, gray)
+        return self._image_stacks
+
     # --- public API --------------------------------------------------------------
 
     def train_step(self) -> dict:
@@ -395,12 +429,10 @@ class Trainer:
         else:
             view_idx = jnp.int32(self._next_view())
 
+        gt_images, alpha_masks, gray_images = self._global_stacks()
         (self.gaussians, self.opt_state, self.stats, light_grad,
          metrics) = step(self.gaussians, self.opt_state, self.stats,
-                         self.scene.gt_images, self.scene.alpha_masks,
-                         self.scene.gray_images
-                         if self.scene.gray_images is not None
-                         else self.scene.gt_images[:, :1],
+                         gt_images, alpha_masks, gray_images,
                          self.light_state, view_idx, sub,
                          jnp.int32(it), self.active_sh_degree)
 
@@ -572,6 +604,10 @@ class Trainer:
             "stats": jax.tree.map(np.asarray, self.stats),
             "light_state": np.asarray(self.light_state),
             "light_opt_state": jax.tree.map(np.asarray, self.light_opt_state),
+            # Loss-activity diagnostics survive resume so the quality gates'
+            # train_log.jsonl tail counts the WHOLE run, not post-resume only.
+            "mv_active_count": int(self.mv_active_count),
+            "rough_active_count": int(self.rough_active_count),
         }
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
@@ -596,6 +632,9 @@ class Trainer:
         # to the freshly-constructed instance cap (re-grown on demand).
         if "instance_cap" in state:
             self.instance_cap = int(state["instance_cap"])
+        # Additive v2 fields; absent in older checkpoints -> start at 0.
+        self.mv_active_count = jnp.int32(state.get("mv_active_count", 0))
+        self.rough_active_count = jnp.int32(state.get("rough_active_count", 0))
         cap = state.get("capacity", self.gaussians.capacity)
         if cap != self.gaussians.capacity:
             raise ValueError(

@@ -163,3 +163,33 @@ def test_opacity_aware_rect_output_identical():
     for k in g_f:
         np.testing.assert_array_equal(np.asarray(g_f[k]), np.asarray(g_o[k]),
                                       err_msg=f"param {k}")
+
+
+def test_opacity_aware_rect_keeps_visibility_semantics():
+    """`valid` and `radii` must keep the reference's 3-sigma definition under
+    opacity-tightened rects (ADVICE r3): an edge-of-screen low-opacity splat
+    whose 3-sigma rect overlaps but whose tightened rect is empty stays
+    visible for densify/prune accounting."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    g = make_scene(rng, n=400, capacity=512)
+    # Push splats toward/past the screen edge and include very low opacities
+    # so some tightened rects clip to zero area while 3-sigma rects survive.
+    pts = np.array(g.xyz)
+    pts[:, 0] += np.linspace(-3.0, 3.0, pts.shape[0]).astype(np.float32)
+    g = dataclasses.replace(
+        g, xyz=jnp.asarray(pts),
+        opacity=jnp.asarray(rng.uniform(-6.0, 0.0, (512, 1)).astype(np.float32)))
+    cam = make_camera(160, 120)
+    opac = g.get_opacity[:, 0]
+
+    proj_full = project(g, cam, 2)
+    proj_op = project(g, cam, 2, opacities=opac)
+    np.testing.assert_array_equal(np.asarray(proj_full.valid),
+                                  np.asarray(proj_op.valid))
+    np.testing.assert_array_equal(np.asarray(proj_full.radii),
+                                  np.asarray(proj_op.radii))
+    # tiles_touched may only shrink, never grow.
+    assert np.all(np.asarray(proj_op.tiles_touched)
+                  <= np.asarray(proj_full.tiles_touched))
