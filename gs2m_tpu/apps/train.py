@@ -178,6 +178,8 @@ def main(argv=None):
                                  log_images_to=reporter, iteration=it,
                                  tag="train")
             line = f"[ITER {it:>6}] train PSNR {res['psnr']:.2f}"
+            if "psnr_pbr" in res:
+                line += f" (PBR {res['psnr_pbr']:.2f})"
             if scene.test_cameras:
                 # Held-out PSNR over the FULL test split — the quality signal
                 # (training_utils.py:59-168 evaluates every test camera).
@@ -187,12 +189,19 @@ def main(argv=None):
                                       tag="test")
                 line += (f"  test PSNR {tres['psnr']:.2f} "
                          f"L1 {tres['l1']:.4f} ({len(scene.test_cameras)} views)")
-                reporter.scalars(it, {"test_psnr": tres["psnr"],
-                                      "test_l1": tres["l1"]},
-                                 int(trainer.gaussians.num_alive))
-                log_file.write(json.dumps({
-                    "iteration": it, "test_psnr": tres["psnr"],
-                    "test_l1": tres["l1"]}) + "\n")
+                scal = {"test_psnr": tres["psnr"], "test_l1": tres["l1"]}
+                rec = {"iteration": it, "test_psnr": tres["psnr"],
+                       "test_l1": tres["l1"]}
+                if "psnr_pbr" in tres:
+                    # The material stage's quality signal is the PBR render
+                    # (training_utils.py:158-168).
+                    line += f"  test PSNR(PBR) {tres['psnr_pbr']:.2f}"
+                    scal["test_psnr_pbr"] = tres["psnr_pbr"]
+                    scal["test_l1_pbr"] = tres["l1_pbr"]
+                    rec["test_psnr_pbr"] = tres["psnr_pbr"]
+                    rec["test_l1_pbr"] = tres["l1_pbr"]
+                reporter.scalars(it, scal, int(trainer.gaussians.num_alive))
+                log_file.write(json.dumps(rec) + "\n")
                 log_file.flush()
             print(line)
             reporter.histogram(it, "scene/opacity_histogram",

@@ -52,28 +52,79 @@ class TrainingReporter:
             self.writer.close()
 
 
-def evaluate_views(trainer, cameras, gt_images, n_views: int | None = None,
-                   log_images_to: TrainingReporter | None = None,
-                   iteration: int = 0, tag: str = "test"):
-    """PSNR/L1 over a view list (training_utils.py:59-168). Renders with the
-    trainer's production backend."""
+def _render_guarded(trainer, camera, material_stage: bool):
+    """One eval render that refuses to report on a silently-truncated frame:
+    if the binning buffer overflowed (pkg['dropped'] > 0) the PSNR would be
+    deflated by missing splats, so grow the instance cap (same demand-sized
+    policy as the training path, trainer._grow_instance_cap) and re-render.
+    Bounded retries; at the hard cap the last (dropped) frame is returned and
+    the drop is reported loudly."""
     import jax.numpy as jnp
 
     from gs2m_tpu.models.render import render_jit
 
-    n = len(cameras) if n_views is None else min(n_views, len(cameras))
-    psnrs, l1s = [], []
-    for i in range(n):
-        pkg = render_jit(trainer.gaussians, cameras[i], jnp.zeros(3),
+    for _ in range(4):
+        pkg = render_jit(trainer.gaussians, camera, jnp.zeros(3),
                          trainer.active_sh_degree, geometry_stage=True,
+                         material_stage=material_stage,
                          backend=trainer.backend, tile=trainer.pipe.tile,
                          chunk=trainer.pipe.chunk,
                          instance_cap=trainer.instance_cap)
+        dropped = int(pkg["dropped"])
+        if dropped == 0:
+            return pkg
+        before = trainer.instance_cap
+        trainer._grow_instance_cap(dropped=dropped)
+        if trainer.instance_cap == before:  # at MAX_INSTANCE_CAP
+            break
+    print(f"[!] eval render dropped {dropped} instances at the maximum "
+          f"instance cap — PSNR is a lower bound", flush=True)
+    return pkg
+
+
+def evaluate_views(trainer, cameras, gt_images, n_views: int | None = None,
+                   log_images_to: TrainingReporter | None = None,
+                   iteration: int = 0, tag: str = "test"):
+    """PSNR/L1 over a view list (training_utils.py:59-168). Renders with the
+    trainer's production backend. In the material stage this also runs the
+    deferred PBR pass per view — psnr_pbr/l1_pbr scalars, albedo/roughness/
+    metallic/diffuse/specular image grids, and the environment map, matching
+    training_utils.py:69-71,95-173."""
+    material_stage = (trainer.pbr_fns is not None
+                      and trainer._stage_flags(trainer.iteration)[1])
+    brdf_lut = trainer.pbr_fns["brdf_lut"] if material_stage else None
+    if material_stage and log_images_to is not None:
+        from gs2m_tpu.pbr import cubemap as cmod
+        env = np.asarray(cmod.cubemap_to_latlong(trainer.light_state,
+                                                 (256, 512)))
+        log_images_to.image(iteration, "scene/envmap",
+                            np.clip(env, 0, 1).transpose(2, 0, 1))
+
+    n = len(cameras) if n_views is None else min(n_views, len(cameras))
+    psnrs, l1s, psnrs_pbr, l1s_pbr = [], [], [], []
+    for i in range(n):
+        pkg = _render_guarded(trainer, cameras[i], material_stage)
         img = np.clip(np.asarray(pkg["render"]), 0, 1)
         gt = np.clip(np.asarray(gt_images[i]), 0, 1)
         mse = float(np.mean((img - gt) ** 2))
         psnrs.append(20 * np.log10(1.0 / np.sqrt(max(mse, 1e-12))))
         l1s.append(float(np.mean(np.abs(img - gt))))
+
+        ppkg = None
+        if material_stage:
+            from gs2m_tpu.pbr.render import pbr_render
+            ppkg = pbr_render(trainer.light_state, cameras[i], pkg, brdf_lut,
+                              metallic_trained=trainer.model_cfg.metallic,
+                              gamma=trainer.model_cfg.gamma)
+            nm = np.asarray(pkg["normal_mask"])
+            # PBR image over the (zero) background outside the surface mask
+            # (training_utils.py:124-127).
+            pbr_img = np.where(nm, np.clip(
+                np.asarray(ppkg["render_rgb"]).transpose(2, 0, 1), 0, 1), 0.0)
+            mse_p = float(np.mean((pbr_img - gt) ** 2))
+            psnrs_pbr.append(20 * np.log10(1.0 / np.sqrt(max(mse_p, 1e-12))))
+            l1s_pbr.append(float(np.mean(np.abs(pbr_img - gt))))
+
         if log_images_to is not None and i < 5:
             log_images_to.image(iteration, f"{tag}_view_{i}/render", img)
             log_images_to.image(iteration, f"{tag}_view_{i}/gt", gt)
@@ -83,4 +134,24 @@ def evaluate_views(trainer, cameras, gt_images, n_views: int | None = None,
                                 ((d - lo) / (hi - lo + 1e-8))[None])
             log_images_to.image(iteration, f"{tag}_view_{i}/normal",
                                 np.asarray(pkg["normal_map"]) * 0.5 + 0.5)
-    return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
+            if ppkg is not None:
+                hwc = lambda k: np.asarray(ppkg[k]).transpose(2, 0, 1)
+                log_images_to.image(iteration, f"{tag}_view_{i}/albedo",
+                                    np.asarray(pkg["albedo_map"]))
+                log_images_to.image(iteration, f"{tag}_view_{i}/roughness",
+                                    np.asarray(ppkg["roughness_map"]))
+                log_images_to.image(iteration, f"{tag}_view_{i}/metallic",
+                                    np.asarray(ppkg["metallic_map"]))
+                log_images_to.image(iteration, f"{tag}_view_{i}/z_pbr_render",
+                                    pbr_img)
+                log_images_to.image(iteration,
+                                    f"{tag}_view_{i}/z_shade_diffuse",
+                                    hwc("diffuse_rgb"))
+                log_images_to.image(iteration,
+                                    f"{tag}_view_{i}/z_shade_specular",
+                                    hwc("specular_rgb"))
+    res = {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
+    if material_stage:
+        res["psnr_pbr"] = float(np.mean(psnrs_pbr))
+        res["l1_pbr"] = float(np.mean(l1s_pbr))
+    return res

@@ -233,6 +233,7 @@ def test_degenerate_conic_keeps_grads_finite():
             assert np.isfinite(np.asarray(v)).all(), f"{backend}/{k}"
 
 
+@pytest.mark.slow
 def test_pair_render_matches_two_singles():
     """The fused pair render (models/render.render_pair — shared instance
     gather + shared backward reduction) must reproduce two independent

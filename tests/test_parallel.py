@@ -15,6 +15,7 @@ def dp_setup():
     return mc, pipe, opt, scene, g
 
 
+@pytest.mark.slow
 def test_dp_step_matches_mean_of_views(dp_setup):
     """A D-view DP step's psum-mean gradient equals the mean of D single-view
     gradients (same keys) — the collective itself under test."""
@@ -107,6 +108,7 @@ def test_dp_losses_match_single_view(dp_setup):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_dp_pallas_backend_under_shard_map(dp_setup):
     """The PRODUCTION Pallas backend (interpret on CPU) composed with
     shard_map + custom_vjp: forward loss equals the XLA twin's, grads stay
@@ -146,6 +148,7 @@ def test_dp_pallas_backend_under_shard_map(dp_setup):
                                    atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_trainer_dp_with_densify_cycle(dp_setup):
     """Trainer-driven DP: 30 steps on a 2-device mesh with the production
     backend, crossing one densification boundary — densify/trim/reset
@@ -177,6 +180,7 @@ def test_trainer_dp_with_densify_cycle(dp_setup):
     assert int(tr.gaussians.num_alive) >= alive0 - 1
 
 
+@pytest.mark.slow
 def test_dp_material_stage_light_psum(dp_setup):
     """DP x material stage (VERDICT r2 #7): the psum-mean light gradient from
     a D-view shard_map step equals the mean of per-view light grads, Lmat is
