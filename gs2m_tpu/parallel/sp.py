@@ -107,25 +107,55 @@ def make_sp_render(mesh: Mesh, height: int, width: int, *,
     return render_sp
 
 
+def halo_extend(x: jnp.ndarray, r: int, axis: str, n_devices: int) -> jnp.ndarray:
+    """(..., local_h, W) band -> (..., local_h + 2r, W) slab extended with r
+    boundary rows from each band neighbor over ICI (two ppermute shifts).
+    Edge bands receive zeros — exactly the zero padding a single-chip 'same'
+    convolution would see beyond the image border. Differentiable: the
+    transpose of ppermute is the reverse permute, so halo-row gradients flow
+    back to the producing band automatically."""
+    h_axis = x.ndim - 2
+    top = jax.lax.slice_in_dim(x, 0, r, axis=h_axis)
+    bot = jax.lax.slice_in_dim(x, x.shape[h_axis] - r, x.shape[h_axis],
+                               axis=h_axis)
+    # Band d's rows just ABOVE its window live on band d-1 (its bottom rows).
+    from_above = jax.lax.ppermute(
+        bot, axis, [(i, i + 1) for i in range(n_devices - 1)])
+    from_below = jax.lax.ppermute(
+        top, axis, [(i, i - 1) for i in range(1, n_devices)])
+    return jnp.concatenate([from_above, x, from_below], axis=h_axis)
+
+
 def make_sp_grad(mesh: Mesh, height: int, width: int, *,
                  feature_count: int = 10, active_sh_degree: int = 3,
                  tile: int = 16, chunk: int = 128,
                  instance_cap_per_band: int = 2 ** 17,
-                 backend: str = "pallas") -> Callable:
+                 backend: str = "pallas",
+                 lambda_ssim: float = 0.0) -> Callable:
     """Tile-sharded BACKWARD: jitted (params, gaussians, camera, bg, target)
-    -> (loss, per-Gaussian grad pytree), pixel-local photometric L1.
+    -> (loss, per-Gaussian grad pytree) for the reference photometric
+    objective (1-l)*L1 + l*(1-SSIM) (train.py:101-107; losses.rgb_loss).
 
     The SURVEY §2.4 pattern: each chip back-propagates through its own band
     of the tile grid; per-Gaussian partial gradients are `psum`-reduced over
-    ICI, replicated parameters never move. Pixel-local losses (L1/L2/BCE)
-    shard exactly; window losses (SSIM, sobel) need halo exchange and stay
-    on the DP axis. The `target` image is passed full-frame and sliced per
-    band (replicated-in, local-read)."""
+    ICI, replicated parameters never move. Pixel-local terms (L1) shard with
+    zero communication. The SSIM window term sharding uses HALO EXCHANGE:
+    each band ppermutes its 5 boundary rows to its neighbors (the 11x11
+    window radius), computes the SSIM map on the extended slab, and keeps
+    only its own rows — every kept pixel's window support lies inside the
+    slab, so the map (and, through the transposed ppermute, its gradient)
+    is bit-equal to the single-chip full-frame computation. Cross-view
+    losses (multi-view NCC) reproject arbitrarily far and stay on the DP
+    axis. The `target` image is passed full-frame and sliced per band
+    (replicated-in, local-read)."""
     (axis,) = mesh.axis_names
     D = mesh.devices.size
     Hp = padded_height(height, D, tile)
     local_h = Hp // D
     assert instance_cap_per_band % chunk == 0
+    HALO = 5  # 11x11 Gaussian window radius (ops/ssim.py)
+    assert lambda_ssim == 0.0 or local_h >= HALO, (
+        "SSIM halo exchange needs bands of at least 5 rows")
 
     def band_loss(params, gaussians, camera, bg, target):
         import dataclasses
@@ -145,20 +175,47 @@ def make_sp_grad(mesh: Mesh, height: int, width: int, *,
             proj, g.get_opacity[:, 0], feats, bg, local_cam,
             feature_count=feature_count, tile=tile, chunk=chunk,
             instance_cap=instance_cap_per_band, backend=backend)
-        # Local band of the (padded) target; rows beyond `height` are masked.
+        # Local band of the (padded) target; rows beyond `height` are masked
+        # to zero in BOTH images — the padded-frame rows render real splat
+        # content that the single-chip H-row frame never sees, and SSIM
+        # windows near the bottom edge must read zeros there (the same zeros
+        # the single-chip 'same' conv pads with).
         tgt = jax.lax.dynamic_slice_in_dim(target, y0, local_h, axis=1)
         rows = y0 + jnp.arange(local_h)
         mask = (rows < height).astype(out.color.dtype)[None, :, None]
+        colm = out.color * mask
+        tgtm = tgt * mask
         # Sum (not mean) locally; normalize AFTER the psum so the total
         # equals the single-chip full-frame mean.
-        return jnp.sum(jnp.abs(out.color - tgt) * mask)
+        l1_sum = jnp.sum(jnp.abs(colm - tgtm))
+        if lambda_ssim == 0.0:
+            return l1_sum, jnp.float32(0.0)
+        from gs2m_tpu.ops.ssim import ssim_map
+        # One exchange for both images: (2, 3, local_h, W) slab.
+        ext = halo_extend(jnp.stack([colm, tgtm]), HALO, axis, D)
+        m = ssim_map(ext[:1, :, :], ext[1:, :, :])  # grads to colm only
+        kept = m[0, :, HALO:HALO + local_h] * mask
+        return l1_sum, jnp.sum(kept)
 
     def shard_fn(params, gaussians, camera, bg, target):
-        loss, grads = jax.value_and_grad(band_loss)(params, gaussians, camera,
-                                                    bg, target)
+        # The global objective is LINEAR in the per-device sums:
+        #   loss = lam + sum_d [(1-lam)*l1_d - lam*ssim_d] / denom
+        # so differentiate the purely LOCAL summand and psum once at the end
+        # (a psum inside the differentiated function would transpose to
+        # another psum under check_vma=False and double-count by D —
+        # observed as exactly-8x grads on the 8-device mesh).
         denom = 3.0 * height * width
-        loss = jax.lax.psum(loss, axis) / denom
-        grads = jax.tree.map(lambda x: jax.lax.psum(x, axis) / denom, grads)
+
+        def local_obj(p):
+            l1_sum, ssim_sum = band_loss(p, gaussians, camera, bg, target)
+            return ((1.0 - lambda_ssim) * l1_sum
+                    - lambda_ssim * ssim_sum) / denom
+
+        val, grads = jax.value_and_grad(local_obj)(params)
+        # grads_d includes neighbor-loss contributions routed back through
+        # the transposed ppermute; the psum sums the per-device partials.
+        loss = lambda_ssim + jax.lax.psum(val, axis)
+        grads = jax.tree.map(lambda x: jax.lax.psum(x, axis), grads)
         return loss, grads
 
     smapped = jax.shard_map(

@@ -478,6 +478,54 @@ def test_sp_sharded_grads_match_single_chip():
                                    err_msg=k)
 
 
+def test_sp_halo_ssim_grads_match_single_chip():
+    """The SSIM window term under tile sharding: 5-row halo exchange
+    (parallel/sp.py halo_extend) makes the banded (1-l)*L1 + l*(1-SSIM)
+    objective — losses.rgb_loss, train.py:101-107 — match the single-chip
+    full-frame loss AND per-Gaussian grads, including a padded height where
+    the bottom bands are partially/fully masked."""
+    import jax.numpy as jnp
+
+    from gs2m_tpu.models.losses import rgb_loss
+    from gs2m_tpu.ops.projection import project
+    from gs2m_tpu.ops.rasterize import build_features, rasterize_from_projected
+    from gs2m_tpu.parallel.sp import make_sp_grad
+    from tests.test_golden import make_camera, make_scene
+
+    rng = np.random.default_rng(29)
+    H, W = 100, 64  # pads to 128 -> 8 bands of 16 rows, 2 masked tails
+    LAM = 0.2
+    cam = make_camera(width=W, height=H)
+    g = make_scene(rng, n=100, capacity=128, random_pose=True)
+    bg = jnp.zeros(3)
+    target = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+
+    def single_loss(params):
+        gg = g.with_params(params)
+        proj = project(gg, cam, g.max_sh_degree)
+        feats = build_features(gg, cam)
+        out = rasterize_from_projected(
+            proj, gg.get_opacity[:, 0], feats, bg, cam, feature_count=10,
+            tile=16, chunk=128, instance_cap=2 ** 13, backend="xla")
+        return rgb_loss(out.color, target, LAM)
+
+    params = g.params_dict()
+    l_ref, g_ref = jax.value_and_grad(single_loss)(params)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    grad_sp = make_sp_grad(mesh, H, W, active_sh_degree=g.max_sh_degree,
+                           chunk=128, instance_cap_per_band=2 ** 11,
+                           backend="xla", lambda_ssim=LAM)
+    l_sp, g_sp = grad_sp(params, g, cam, bg, target)
+
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    for k in g_ref:
+        a, b = np.asarray(g_sp[k]), np.asarray(g_ref[k])
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a, b, atol=2e-5 * scale, rtol=1e-4,
+                                   err_msg=k)
+
+
 @pytest.mark.slow
 def test_two_process_dp_matches_single_process(tmp_path):
     """The REAL multi-host path (VERDICT r3 #4): 2 subprocesses x 4 virtual
