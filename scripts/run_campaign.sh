@@ -1,28 +1,23 @@
 #!/bin/bash
-# Round-3 TPU measurement campaign v2: waits for the axon tunnel, then runs
+# Round-4 TPU measurement campaign v3: waits for the axon tunnel, then runs
 # bench.py, bench_train steady+early, a full-train-step trace itemization,
 # the glossy material gate (10k iters, auto-resumes), and the 30k production
 # quality gate (auto-resumes). Logs under /tmp/campaign/.
 #
 # Global deadline: all work stops by DEADLINE_EPOCH so no child is still
-# holding the chip when the round driver runs bench.py. The gates checkpoint
-# + resume, so a deadline kill costs at most one eval interval.
+# holding the chip when the round driver runs bench.py at round end (~13:30).
 set -u
 LOG=/tmp/campaign
 mkdir -p $LOG
 export PYTHONPATH=/root/.axon_site:/root/repo
 cd /root/repo
 
-DEADLINE_EPOCH=$(date -d "02:30 tomorrow" +%s 2>/dev/null || echo $(( $(date +%s) + 24000 )))
-# If it's before midnight, "02:30 tomorrow" is right; guard the degenerate
-# case where the computed deadline is somehow > 9h out.
-NOW=$(date +%s)
-if (( DEADLINE_EPOCH - NOW > 32400 )); then DEADLINE_EPOCH=$(( NOW + 25200 )); fi
+DEADLINE_EPOCH=$(date -d "2026-08-18 11:30 UTC" +%s)
 
 stamp() { date +%H:%M:%S; }
 remaining() { echo $(( DEADLINE_EPOCH - $(date +%s) )); }
 
-echo "$(stamp) campaign v2 start, deadline $(date -d @$DEADLINE_EPOCH +%H:%M:%S) ($(remaining))s" >> $LOG/campaign.log
+echo "$(stamp) campaign v3 start, deadline $(date -d @$DEADLINE_EPOCH +%H:%M:%S) ($(remaining)s)" >> $LOG/campaign.log
 
 # 1. Wait for the chip (probe failure == down or claimed by someone else).
 while true; do
@@ -39,6 +34,7 @@ x = jnp.ones((8,128)); print('ok', float((x@x.T)[0,0]), flush=True)
   sleep 120
 done
 echo "$(stamp) TPU UP — starting campaign" >> $LOG/campaign.log
+touch $LOG/TPU_UP
 
 run_step() { # name, timeout_s, cmd...
   local name=$1 tmo=$2; shift 2
@@ -61,7 +57,9 @@ RETRY=(python -u scripts/tpu_retry.py --)
 run_step bench           2400 "${RETRY[@]}" python -u bench.py
 run_step bench_steady    2400 "${RETRY[@]}" python -u bench_train.py --preset steady
 run_step bench_early     2400 "${RETRY[@]}" python -u bench_train.py --preset early
-run_step profile_train   2400 "${RETRY[@]}" python -u scripts/profile_step.py --train --iters 3 --keep /tmp/gs2m_trace_r3
+run_step profile_train   2400 "${RETRY[@]}" python -u scripts/profile_step.py --train --iters 3 --keep /tmp/gs2m_trace_r4
+run_step microbench      2400 "${RETRY[@]}" python -u scripts/microbench_stages.py
 run_step material_gate  10800 python -u scripts/run_material_gate.py
 run_step production_gate $(remaining) python -u scripts/run_quality_gate.py --production
 echo "$(stamp) CAMPAIGN DONE" >> $LOG/campaign.log
+touch $LOG/CAMPAIGN_DONE
