@@ -183,12 +183,21 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     atotal = astart[-1] + aligned[-1]
     dropped_align = jnp.maximum(atotal - I, 0)
 
-    # aligned slot -> tile (scatter+cumsum; duplicate starts of empty tiles
+    # aligned slot -> tile, at CHUNK granularity: segments are chunk-aligned,
+    # so astart values are chunk multiples and every slot of a chunk shares
+    # one tile — the boundary scatter+cumsum and the (I, 3) tile-table gather
+    # run over I/chunk elements instead of I (duplicate starts of empty tiles
     # accumulate so the cumsum still yields the LAST tile with astart <= slot)
-    t_of = jnp.clip(boundary_lookup(astart, I), 0, T - 1)
-    t_of = jax.lax.optimization_barrier(t_of)
-    tile_table = jnp.stack([astart, counts, start], axis=-1)  # (T, 3)
-    trows = jax.lax.optimization_barrier(tile_table[t_of])    # (I, 3)
+    # and broadcast back to slots for free.
+    n_chunks = I // chunk
+    chunk_marks = jnp.zeros((n_chunks,), jnp.int32).at[astart // chunk].add(
+        1, mode="drop")
+    t_of_c = jnp.clip(jnp.cumsum(chunk_marks) - 1, 0, T - 1)
+    t_of_c = jax.lax.optimization_barrier(t_of_c)
+    tile_table = jnp.stack([astart, counts, start], axis=-1)   # (T, 3)
+    trows_c = jax.lax.optimization_barrier(tile_table[t_of_c])  # (n_chunks, 3)
+    trows = jnp.broadcast_to(trows_c[:, None, :],
+                             (n_chunks, chunk, 3)).reshape(I, 3)
     k = slots - trows[:, 0]
     in_tile = (slots < atotal) & (k < trows[:, 1])
     src = jax.lax.optimization_barrier(jnp.clip(trows[:, 2] + k, 0, I - 1))
@@ -205,9 +214,9 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     gauss_offset = jnp.clip(offsets, 0, I).astype(jnp.int32)
     gauss_live = jnp.clip(jnp.minimum(tt, I - offsets), 0, None).astype(jnp.int32)
 
-    # chunk -> tile id (dummy tile T for tail chunks); reuse t_of.
-    chunk_starts = jnp.arange(I // chunk, dtype=jnp.int32) * chunk
-    chunk_tile = jnp.where(chunk_starts < atotal, t_of[chunk_starts], T)
+    # chunk -> tile id (dummy tile T for tail chunks); t_of_c IS per-chunk.
+    chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    chunk_tile = jnp.where(chunk_starts < atotal, t_of_c, T)
 
     # A tile only renders if at least one chunk actually carries it (overflow
     # can cut a nonempty tile's chunks entirely; it then composites as pure
