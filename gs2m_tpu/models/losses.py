@@ -51,9 +51,15 @@ def rgb_loss(pred: jnp.ndarray, gt: jnp.ndarray, lambda_ssim: float) -> jnp.ndar
     return (1.0 - lambda_ssim) * l1_loss(pred, gt) + lambda_ssim * ls
 
 
-def binary_cross_entropy(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def binary_cross_entropy_map(pred: jnp.ndarray,
+                             target: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel BCE (the banded SP objective sums a masked slice of it)."""
     p = jnp.clip(pred, 1e-7, 1.0 - 1e-7)
-    return jnp.mean(-(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p)))
+    return -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+
+
+def binary_cross_entropy(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(binary_cross_entropy_map(pred, target))
 
 
 # --- flattening prior (loss_utils.py:72-78) ----------------------------------

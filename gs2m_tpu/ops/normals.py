@@ -13,15 +13,18 @@ import jax.numpy as jnp
 
 
 def depth_to_points(depth: jnp.ndarray, K: jnp.ndarray,
-                    c2w: jnp.ndarray | None = None) -> jnp.ndarray:
+                    c2w: jnp.ndarray | None = None, row0=0) -> jnp.ndarray:
     """(H, W) depth -> (H, W, 3) camera-space (or world if c2w given) points.
 
     Pixel grid spans 0..W-1 / 0..H-1 at integer centers, matching the
-    reference's ndc*(W-1) convention (normal_utils.py:3-22).
+    reference's ndc*(W-1) convention (normal_utils.py:3-22). `row0` offsets
+    the pixel-row coordinates — a depth BAND of a larger frame (tile-sharded
+    rendering, parallel/sp.py) back-projects with its global rows.
     """
     H, W = depth.shape
     x, y = jnp.meshgrid(jnp.arange(W, dtype=depth.dtype),
-                        jnp.arange(H, dtype=depth.dtype), indexing="xy")
+                        row0 + jnp.arange(H, dtype=depth.dtype),
+                        indexing="xy")
     pix = jnp.stack([x * depth, y * depth, depth], axis=-1)  # (H, W, 3)
     inv_K = jnp.linalg.inv(K)
     pts_cam = pix @ inv_K.T
@@ -46,7 +49,10 @@ def points_to_normals(pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def normal_from_depth_image(depth: jnp.ndarray, K: jnp.ndarray,
-                            c2w: jnp.ndarray | None = None) -> jnp.ndarray:
+                            c2w: jnp.ndarray | None = None,
+                            row0=0) -> jnp.ndarray:
     """(H, W) depth -> (H, W, 3) normals in world space (camera space if
-    c2w is None), reference normal_utils.py:65-71."""
-    return points_to_normals(depth_to_points(depth, K, c2w))
+    c2w is None), reference normal_utils.py:65-71. `row0` windows the pixel
+    rows for depth bands (the 1-px zero border then lands on the SLAB edge;
+    banded callers mask the true image border themselves)."""
+    return points_to_normals(depth_to_points(depth, K, c2w, row0=row0))

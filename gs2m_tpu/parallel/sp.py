@@ -126,6 +126,25 @@ def halo_extend(x: jnp.ndarray, r: int, axis: str, n_devices: int) -> jnp.ndarra
     return jnp.concatenate([from_above, x, from_below], axis=h_axis)
 
 
+_SSIM_HALO = 5  # 11x11 Gaussian window radius (ops/ssim.py)
+
+
+def _banded_rgb_sums(colm, tgtm, mask, lambda_ssim, axis, D, local_h):
+    """(l1_sum, ssim_sum) of one masked band. Sum (not mean) locally;
+    normalize AFTER the psum so the total equals the single-chip full-frame
+    mean. SSIM windows cross band edges via halo_extend; every kept pixel's
+    11x11 support lies inside the extended slab."""
+    l1_sum = jnp.sum(jnp.abs(colm - tgtm))
+    if lambda_ssim == 0.0:
+        return l1_sum, jnp.float32(0.0)
+    from gs2m_tpu.ops.ssim import ssim_map
+    # One exchange for both images: (2, 3, local_h, W) slab.
+    ext = halo_extend(jnp.stack([colm, tgtm]), _SSIM_HALO, axis, D)
+    m = ssim_map(ext[:1, :, :], ext[1:, :, :])  # grads to colm only
+    kept = m[0, :, _SSIM_HALO:_SSIM_HALO + local_h] * mask
+    return l1_sum, jnp.sum(kept)
+
+
 def make_sp_grad(mesh: Mesh, height: int, width: int, *,
                  feature_count: int = 10, active_sh_degree: int = 3,
                  tile: int = 16, chunk: int = 128,
@@ -153,8 +172,7 @@ def make_sp_grad(mesh: Mesh, height: int, width: int, *,
     Hp = padded_height(height, D, tile)
     local_h = Hp // D
     assert instance_cap_per_band % chunk == 0
-    HALO = 5  # 11x11 Gaussian window radius (ops/ssim.py)
-    assert lambda_ssim == 0.0 or local_h >= HALO, (
+    assert lambda_ssim == 0.0 or local_h >= _SSIM_HALO, (
         "SSIM halo exchange needs bands of at least 5 rows")
 
     def band_loss(params, gaussians, camera, bg, target):
@@ -185,17 +203,8 @@ def make_sp_grad(mesh: Mesh, height: int, width: int, *,
         mask = (rows < height).astype(out.color.dtype)[None, :, None]
         colm = out.color * mask
         tgtm = tgt * mask
-        # Sum (not mean) locally; normalize AFTER the psum so the total
-        # equals the single-chip full-frame mean.
-        l1_sum = jnp.sum(jnp.abs(colm - tgtm))
-        if lambda_ssim == 0.0:
-            return l1_sum, jnp.float32(0.0)
-        from gs2m_tpu.ops.ssim import ssim_map
-        # One exchange for both images: (2, 3, local_h, W) slab.
-        ext = halo_extend(jnp.stack([colm, tgtm]), HALO, axis, D)
-        m = ssim_map(ext[:1, :, :], ext[1:, :, :])  # grads to colm only
-        kept = m[0, :, HALO:HALO + local_h] * mask
-        return l1_sum, jnp.sum(kept)
+        return _banded_rgb_sums(colm, tgtm, mask, lambda_ssim, axis, D,
+                                local_h)
 
     def shard_fn(params, gaussians, camera, bg, target):
         # The global objective is LINEAR in the per-device sums:
@@ -230,5 +239,162 @@ def make_sp_grad(mesh: Mesh, height: int, width: int, *,
         pad = Hp - target.shape[1]
         tgt = jnp.pad(target, ((0, 0), (0, pad), (0, 0)))
         return smapped(params, gaussians, camera, bg, tgt)
+
+    return grad_sp
+
+
+def make_sp_geometry_grad(mesh: Mesh, height: int, width: int, *,
+                          active_sh_degree: int = 3,
+                          tile: int = 16, chunk: int = 128,
+                          instance_cap_per_band: int = 2 ** 17,
+                          backend: str = "pallas",
+                          lambda_ssim: float = 0.2,
+                          lambda_depth_normal: float = 0.05,
+                          lambda_plane: float = 100.0,
+                          lambda_alpha: float = 0.0) -> Callable:
+    """Tile-sharded backward for the FULL geometry-stage objective minus the
+    cross-view term (train.py:92-115 without Lmv — multi-view NCC reprojects
+    arbitrarily far across the frame and stays on the DP axis):
+
+        (1-l)*L1 + l*(1-SSIM) + lambda_plane*Lplane
+        [+ lambda_alpha*BCE(alpha, gt_alpha)] + lambda_depth_normal*Ldn
+
+    Window terms shard by halo exchange: SSIM ppermutes 5 boundary rows
+    (_banded_rgb_sums); the sobel normal-from-depth ppermutes 1 depth row and
+    back-projects with GLOBAL pixel rows (ops/normals.py row0), with the true
+    image border rows re-zeroed exactly like the single-chip 1-px border. The
+    depth-normal weights normalize by the FULL image gradient range
+    (losses._img_grad_weight), computed from the replicated gt per device.
+    The plane loss is a per-Gaussian ratio (nonlinear in the psum) — its
+    visibility is discrete (radii > 0, no grad path), so it is evaluated
+    REPLICATED outside the shard_map on the pmax'd radii and its grads are
+    added to the psum'd per-Gaussian grads.
+
+    Returns jitted (params, gaussians, camera, bg, target, gt_alpha)
+    -> (loss, grads); loss and grads match the single-chip assembly of the
+    same terms (chunk-boundary fp reassociation only)."""
+    import dataclasses
+
+    from gs2m_tpu.models.losses import (_img_grad_weight,
+                                        binary_cross_entropy_map, plane_loss)
+    from gs2m_tpu.ops.normals import normal_from_depth_image
+    from gs2m_tpu.ops.rasterize import build_features, rasterize_from_projected
+
+    (axis,) = mesh.axis_names
+    D = mesh.devices.size
+    Hp = padded_height(height, D, tile)
+    local_h = Hp // D
+    assert instance_cap_per_band % chunk == 0
+    assert local_h >= _SSIM_HALO, "SSIM halo needs bands of at least 5 rows"
+
+    def band_terms(params, gaussians, camera, target, gt_alpha, rays_pad,
+                   dn_weights_pad):
+        d = jax.lax.axis_index(axis)
+        y0 = d * local_h
+        g = gaussians.with_params(params)
+        proj = project(g, camera, active_sh_degree, tile=tile,
+                       opacities=g.get_opacity[:, 0])
+        projc = crop_projected(proj, y0, local_h, tile)
+        feats = build_features(g, camera)
+        local_cam = dataclasses.replace(camera, height=local_h)
+        out = rasterize_from_projected(
+            projc, g.get_opacity[:, 0], feats, jnp.zeros(3), local_cam,
+            feature_count=10, tile=tile, chunk=chunk,
+            instance_cap=instance_cap_per_band, backend=backend)
+
+        rows = y0 + jnp.arange(local_h)
+        mask = (rows < height).astype(out.color.dtype)[None, :, None]
+
+        # --- photometric (bg = 0 zeroes the background compositing) --------
+        colm = jnp.clip(out.color, 0.0, 1.0) * mask
+        tgtm = jax.lax.dynamic_slice_in_dim(target, y0, local_h, 1) * mask
+        l1_sum, ssim_sum = _banded_rgb_sums(colm, tgtm, mask, lambda_ssim,
+                                            axis, D, local_h)
+
+        # --- geometry maps (derive_render_pkg semantics, banded) -----------
+        buffer = out.buffer
+        alpha = buffer[0:1]
+        distance = buffer[1:2]
+        normal_map = buffer[2:5]
+        n_flat = normal_map.transpose(1, 2, 0).reshape(-1, 3)
+        local_n = n_flat @ camera.world_view[:3, :3]
+        rays = jax.lax.dynamic_slice_in_dim(rays_pad, y0, local_h, 0)
+        denoms = jnp.sum(local_n * rays.reshape(-1, 3), -1).reshape(
+            1, local_h, width)
+        depth = distance / -(denoms + 1e-8)
+
+        # Sobel normals: 1-row depth halo; global pixel rows via row0. The
+        # slab's zero border lands on the halos; the TRUE image border rows
+        # (0 and height-1) are re-zeroed to match the single-chip 1-px pad.
+        ext_d = halo_extend(depth, 1, axis, D)[0]       # (local_h+2, W)
+        w2c = camera.world_view.T
+        c2w = jnp.linalg.inv(w2c)
+        n_sob = normal_from_depth_image(ext_d, camera.get_K(), c2w,
+                                        row0=y0 - 1)[1:-1]  # (local_h, W, 3)
+        sobel = (n_sob * alpha[0][..., None]).transpose(2, 0, 1)
+        border = (rows == 0) | (rows == height - 1)
+        sobel = jnp.where(border[None, :, None], 0.0, sobel)
+
+        wdn = jax.lax.dynamic_slice_in_dim(dn_weights_pad, y0, local_h, 0)
+        dn_sum = jnp.sum(
+            wdn * jnp.sum(jnp.abs(sobel - normal_map), axis=0) * mask[0])
+
+        bce_sum = jnp.float32(0.0)
+        if lambda_alpha:
+            gta = jax.lax.dynamic_slice_in_dim(gt_alpha, y0, local_h, 1)
+            bce_sum = jnp.sum(
+                binary_cross_entropy_map(alpha, gta) * mask)
+
+        return (l1_sum, ssim_sum, dn_sum, bce_sum), out.radii
+
+    def shard_fn(params, gaussians, camera, target, gt_alpha, rays_pad,
+                 dn_weights_pad):
+        denom = float(height * width)
+
+        def local_obj(p):
+            (l1, ssim, dn, bce), radii = band_terms(
+                p, gaussians, camera, target, gt_alpha, rays_pad,
+                dn_weights_pad)
+            val = ((1.0 - lambda_ssim) * l1 - lambda_ssim * ssim) / (3 * denom)
+            val = val + lambda_depth_normal * dn / denom
+            if lambda_alpha:
+                val = val + lambda_alpha * bce / denom
+            return val, radii
+
+        (val, radii), grads = jax.value_and_grad(local_obj, has_aux=True)(
+            params)
+        loss = lambda_ssim + jax.lax.psum(val, axis)
+        grads = jax.tree.map(lambda x: jax.lax.psum(x, axis), grads)
+        radii = jax.lax.pmax(radii, axis)
+        return loss, grads, radii
+
+    smapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(),) * 7,
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def grad_sp(params, gaussians: Gaussians, camera: Camera, bg, target,
+                gt_alpha):
+        pad = Hp - target.shape[1]
+        tgt = jnp.pad(target, ((0, 0), (0, pad), (0, 0)))
+        gta = jnp.pad(gt_alpha, ((0, 0), (0, pad), (0, 0)))
+        rays_pad = jnp.pad(camera.get_rays(), ((0, pad), (0, 0), (0, 0)))
+        # Full-frame-normalized depth-normal weights from the replicated gt.
+        wdn = jax.lax.stop_gradient(
+            jnp.clip(1.0 - _img_grad_weight(target), 0.0, 1.0) ** 2)
+        wdn_pad = jnp.pad(wdn, ((0, pad), (0, 0)))
+        loss, grads, radii = smapped(params, gaussians, camera, tgt, gta,
+                                     rays_pad, wdn_pad)
+        # Plane prior: visibility is index-valued; replicated evaluation.
+        vis = jax.lax.stop_gradient(radii > 0)
+
+        def plane_fn(p):
+            return lambda_plane * plane_loss(
+                vis, gaussians.with_params(p).get_scaling)
+
+        pl, pg = jax.value_and_grad(plane_fn)(params)
+        return loss + pl, jax.tree.map(jnp.add, grads, pg)
 
     return grad_sp

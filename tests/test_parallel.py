@@ -526,6 +526,60 @@ def test_sp_halo_ssim_grads_match_single_chip():
                                    err_msg=k)
 
 
+def test_sp_geometry_grads_match_single_chip():
+    """The full geometry-stage objective minus the cross-view term under tile
+    sharding (parallel/sp.make_sp_geometry_grad): rgb (SSIM halo), plane
+    prior, alpha BCE, and depth-normal consistency (1-row depth halo + global
+    pixel rows) — loss and per-Gaussian grads match the single-chip assembly
+    of the same trainer terms (trainer.py:92-115 without Lmv)."""
+    import jax.numpy as jnp
+
+    from gs2m_tpu.models.losses import (binary_cross_entropy,
+                                        depth_normal_loss, plane_loss,
+                                        rgb_loss)
+    from gs2m_tpu.models.render import render
+    from gs2m_tpu.parallel.sp import make_sp_geometry_grad
+    from tests.test_golden import make_camera, make_scene
+
+    rng = np.random.default_rng(31)
+    H, W = 100, 64  # pads to 128: masked tails + real border rows mid-band
+    LAM, LDN, LPL, LAL = 0.2, 0.05, 10.0, 0.3
+    cam = make_camera(width=W, height=H)
+    g = make_scene(rng, n=100, capacity=128, random_pose=True)
+    bg = jnp.zeros(3)
+    target = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+    gt_alpha = jnp.asarray(rng.uniform(0, 1, (1, H, W)).astype(np.float32))
+
+    def single_loss(params):
+        gg = g.with_params(params)
+        pkg = render(gg, cam, bg, g.max_sh_degree, geometry_stage=True,
+                     sobel_normal=True, backend="xla", chunk=128,
+                     instance_cap=2 ** 13)
+        loss = rgb_loss(jnp.clip(pkg["render"], 0, 1), target, LAM)
+        loss += LPL * plane_loss(pkg["visibility_filter"], gg.get_scaling)
+        loss += LAL * binary_cross_entropy(pkg["alpha_map"], gt_alpha)
+        loss += LDN * depth_normal_loss(pkg["normal_map"], pkg["sobel_map"],
+                                        target)
+        return loss
+
+    params = g.params_dict()
+    l_ref, g_ref = jax.value_and_grad(single_loss)(params)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    grad_sp = make_sp_geometry_grad(
+        mesh, H, W, active_sh_degree=g.max_sh_degree, chunk=128,
+        instance_cap_per_band=2 ** 11, backend="xla", lambda_ssim=LAM,
+        lambda_depth_normal=LDN, lambda_plane=LPL, lambda_alpha=LAL)
+    l_sp, g_sp = grad_sp(params, g, cam, bg, target, gt_alpha)
+
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    for k in g_ref:
+        a, b = np.asarray(g_sp[k]), np.asarray(g_ref[k])
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a, b, atol=3e-5 * scale, rtol=2e-4,
+                                   err_msg=k)
+
+
 @pytest.mark.slow
 def test_two_process_dp_matches_single_process(tmp_path):
     """The REAL multi-host path (VERDICT r3 #4): 2 subprocesses x 4 virtual
