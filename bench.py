@@ -195,6 +195,12 @@ def main(argv=None):
         return
 
     # ---- auxiliary gates: stderr + BENCH_AUX.json only, never stdout ----
+    aux_path = os.path.join(here, "BENCH_AUX.json")
+    # A stale artifact from a previous round must never masquerade as this
+    # run's numbers (a crash/kill below would otherwise leave it in place
+    # for the harvester to report as current): mark the attempt first.
+    with open(aux_path, "w") as f:
+        json.dump({"aux_error": "aux gates started but did not finish"}, f)
     aux = {}
     aux_err = None
     # Adversarial heavy-tailed workload (fewer Gaussians, far more instances
@@ -209,9 +215,9 @@ def main(argv=None):
     # Gradient-parity gate in the SAME session (VERDICT r2 #4): every perf
     # round re-proves pallas-vs-autodiff grads at production scale.
     sys.path.insert(0, os.path.join(here, "scripts"))
-    from check_grads_onchip import run_grad_check
     grad_report, grad_ok = {}, False
     try:
+        from check_grads_onchip import run_grad_check
         grad_report, grad_ok = run_grad_check()
         aux["grad_check_pass"] = grad_ok
         aux["grad_worst_mixed_rel"] = round(
@@ -221,7 +227,7 @@ def main(argv=None):
             f"grad: {type(e).__name__}: {e}"
     if aux_err:
         aux["aux_error"] = aux_err
-    with open(os.path.join(here, "BENCH_AUX.json"), "w") as f:
+    with open(aux_path, "w") as f:
         json.dump(aux, f, indent=1)
     print(f"AUX: {json.dumps(aux)}", file=sys.stderr)
     if not grad_ok or aux_err:

@@ -201,7 +201,10 @@ def make_sp_grad(mesh: Mesh, height: int, width: int, *,
         tgt = jax.lax.dynamic_slice_in_dim(target, y0, local_h, axis=1)
         rows = y0 + jnp.arange(local_h)
         mask = (rows < height).astype(out.color.dtype)[None, :, None]
-        colm = out.color * mask
+        # Clip like the trainer's photometric term (trainer.py:92) so the
+        # banded objective matches the single-chip one where compositing
+        # overshoots [0, 1].
+        colm = jnp.clip(out.color, 0.0, 1.0) * mask
         tgtm = tgt * mask
         return _banded_rgb_sums(colm, tgtm, mask, lambda_ssim, axis, D,
                                 local_h)
@@ -287,7 +290,7 @@ def make_sp_geometry_grad(mesh: Mesh, height: int, width: int, *,
     assert instance_cap_per_band % chunk == 0
     assert local_h >= _SSIM_HALO, "SSIM halo needs bands of at least 5 rows"
 
-    def band_terms(params, gaussians, camera, target, gt_alpha, rays_pad,
+    def band_terms(params, gaussians, camera, bg, target, gt_alpha, rays_pad,
                    dn_weights_pad):
         d = jax.lax.axis_index(axis)
         y0 = d * local_h
@@ -298,7 +301,7 @@ def make_sp_geometry_grad(mesh: Mesh, height: int, width: int, *,
         feats = build_features(g, camera)
         local_cam = dataclasses.replace(camera, height=local_h)
         out = rasterize_from_projected(
-            projc, g.get_opacity[:, 0], feats, jnp.zeros(3), local_cam,
+            projc, g.get_opacity[:, 0], feats, bg, local_cam,
             feature_count=10, tile=tile, chunk=chunk,
             instance_cap=instance_cap_per_band, backend=backend)
 
@@ -331,9 +334,13 @@ def make_sp_geometry_grad(mesh: Mesh, height: int, width: int, *,
         c2w = jnp.linalg.inv(w2c)
         n_sob = normal_from_depth_image(ext_d, camera.get_K(), c2w,
                                         row0=y0 - 1)[1:-1]  # (local_h, W, 3)
-        sobel = (n_sob * alpha[0][..., None]).transpose(2, 0, 1)
+        # Re-zero the TRUE image border rows of the normals BEFORE the alpha
+        # compositing — the single-chip 1-px pad zeroes n, not the composite
+        # (render_normal_from_depth_map: n*alpha + bg*(1-alpha)).
         border = (rows == 0) | (rows == height - 1)
-        sobel = jnp.where(border[None, :, None], 0.0, sobel)
+        n_sob = jnp.where(border[:, None, None], 0.0, n_sob)
+        a1 = alpha[0][..., None]
+        sobel = (n_sob * a1 + bg[None, None, :] * (1.0 - a1)).transpose(2, 0, 1)
 
         wdn = jax.lax.dynamic_slice_in_dim(dn_weights_pad, y0, local_h, 0)
         dn_sum = jnp.sum(
@@ -347,13 +354,13 @@ def make_sp_geometry_grad(mesh: Mesh, height: int, width: int, *,
 
         return (l1_sum, ssim_sum, dn_sum, bce_sum), out.radii
 
-    def shard_fn(params, gaussians, camera, target, gt_alpha, rays_pad,
+    def shard_fn(params, gaussians, camera, bg, target, gt_alpha, rays_pad,
                  dn_weights_pad):
         denom = float(height * width)
 
         def local_obj(p):
             (l1, ssim, dn, bce), radii = band_terms(
-                p, gaussians, camera, target, gt_alpha, rays_pad,
+                p, gaussians, camera, bg, target, gt_alpha, rays_pad,
                 dn_weights_pad)
             val = ((1.0 - lambda_ssim) * l1 - lambda_ssim * ssim) / (3 * denom)
             val = val + lambda_depth_normal * dn / denom
@@ -370,7 +377,7 @@ def make_sp_geometry_grad(mesh: Mesh, height: int, width: int, *,
 
     smapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(),) * 7,
+        in_specs=(P(),) * 8,
         out_specs=(P(), P(), P()),
         check_vma=False)
 
@@ -385,8 +392,8 @@ def make_sp_geometry_grad(mesh: Mesh, height: int, width: int, *,
         wdn = jax.lax.stop_gradient(
             jnp.clip(1.0 - _img_grad_weight(target), 0.0, 1.0) ** 2)
         wdn_pad = jnp.pad(wdn, ((0, pad), (0, 0)))
-        loss, grads, radii = smapped(params, gaussians, camera, tgt, gta,
-                                     rays_pad, wdn_pad)
+        loss, grads, radii = smapped(params, gaussians, camera, bg, tgt,
+                                     gta, rays_pad, wdn_pad)
         # Plane prior: visibility is index-valued; replicated evaluation.
         vis = jax.lax.stop_gradient(radii > 0)
 

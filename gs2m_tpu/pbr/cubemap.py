@@ -139,20 +139,10 @@ def _pad_gather_indices(res: int):
         np.stack([-fx, -fy, -one], -1),
     ]
     d = np.stack(faces, 0)  # (6, res+2, res+2, 3), unnormalized
-    x, y, z = d[..., 0], d[..., 1], d[..., 2]
-    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    is_x = (ax >= ay) & (ax >= az)
-    is_y = (~is_x) & (ay >= az)
-    face = np.where(is_x, np.where(x > 0, 0, 1),
-                    np.where(is_y, np.where(y > 0, 2, 3),
-                             np.where(z > 0, 4, 5)))
-    ma = np.where(is_x, ax, np.where(is_y, ay, az)) + 1e-12
-    sel = [face == k for k in range(6)]
-    pfx = np.select(sel, [-z / ma, z / ma, x / ma, x / ma, x / ma, -x / ma])
-    pfy = np.select(sel, [-y / ma, -y / ma, z / ma, -z / ma, -y / ma, -y / ma])
-    col = np.clip(np.floor((pfx + 1.0) * 0.5 * res), 0, res - 1).astype(np.int32)
-    row = np.clip(np.floor((pfy + 1.0) * 0.5 * res), 0, res - 1).astype(np.int32)
-    return face.astype(np.int32), row, col
+    face, u, v = _dir_to_face_uv_np(d)  # dominant-axis rules, scale-invariant
+    col = np.clip(np.floor(u * res), 0, res - 1).astype(np.int32)
+    row = np.clip(np.floor(v * res), 0, res - 1).astype(np.int32)
+    return face, row, col
 
 
 def pad_cube(cubemap: jnp.ndarray) -> jnp.ndarray:
@@ -235,15 +225,17 @@ def _dir_to_face_uv_np(d: np.ndarray):
 
 
 @functools.lru_cache(maxsize=None)
-def _upsample_face_uv(src_res: int, dst_res: int):
-    return _dir_to_face_uv_np(cube_dirs(dst_res))
+def _texel_face_uv(res: int):
+    """face/u/v of the res-grid texel-center directions (they depend only on
+    the DESTINATION grid; the source cubemap just gets sampled there)."""
+    return _dir_to_face_uv_np(cube_dirs(res))
 
 
 def upsample_cube(cubemap: jnp.ndarray, res: int) -> jnp.ndarray:
     """Bilinear upsample of a (6, S, S, C) cubemap to (6, res, res, C) by
     direction lookup (cube-aware, smooth across the prefiltered field).
     Face/uv are host-precomputed constants (static direction grid)."""
-    face, u, v = _upsample_face_uv(cubemap.shape[1], res)
+    face, u, v = _texel_face_uv(res)
     return _bilinear_cube(cubemap, jnp.asarray(face), jnp.asarray(u),
                           jnp.asarray(v), seamless=True)
 

@@ -30,12 +30,15 @@ def view_dirs_world(camera) -> jnp.ndarray:
 
 def pbr_render(light_base: jnp.ndarray, camera, render_pkg: dict,
                brdf_lut: jnp.ndarray, metallic_trained: bool,
-               gamma: bool = False) -> dict:
+               gamma: bool = False, mips=None) -> dict:
     """The deferred shading pass. Differentiable in light_base AND in the
     blended albedo/metallic maps (normals + roughness detached, matching
-    pbr/__init__.py:24-40)."""
+    pbr/__init__.py:24-40). `mips` lets a caller shading MANY views from one
+    unchanged light pass the prefiltered (diffuse, specular) stack once
+    (build_mips is a dense weight-matrix matmul chain — rebuilding it per
+    view multiplies eval wall-clock for nothing)."""
     sg = jax.lax.stop_gradient
-    diffuse, specular = cm.build_mips(light_base)
+    diffuse, specular = cm.build_mips(light_base) if mips is None else mips
 
     normal_map = sg(render_pkg["normal_map"])               # (3, H, W)
     nrm = jnp.linalg.norm(normal_map, axis=0, keepdims=True)

@@ -63,22 +63,32 @@ def _render_guarded(trainer, camera, material_stage: bool):
 
     from gs2m_tpu.models.render import render_jit
 
+    # Same render options as the training step's render_kw (trainer.py:52-54)
+    # — blend_metallic selects feature_count 10 and z_depth the depth kind;
+    # dropping either changes eval semantics vs training (metallic=True
+    # would read an EMPTY metallic_map slice and crash the PBR pass).
+    model_cfg = getattr(trainer, "model_cfg", None)
+    kw = dict(backend=trainer.backend, tile=trainer.pipe.tile,
+              chunk=trainer.pipe.chunk,
+              z_depth=getattr(trainer.pipe, "z_depth", False),
+              blend_metallic=bool(model_cfg and model_cfg.metallic))
     for _ in range(4):
         pkg = render_jit(trainer.gaussians, camera, jnp.zeros(3),
                          trainer.active_sh_degree, geometry_stage=True,
                          material_stage=material_stage,
-                         backend=trainer.backend, tile=trainer.pipe.tile,
-                         chunk=trainer.pipe.chunk,
-                         instance_cap=trainer.instance_cap)
+                         instance_cap=trainer.instance_cap, **kw)
         dropped = int(pkg["dropped"])
         if dropped == 0:
             return pkg
         before = trainer.instance_cap
         trainer._grow_instance_cap(dropped=dropped)
         if trainer.instance_cap == before:  # at MAX_INSTANCE_CAP
-            break
-    print(f"[!] eval render dropped {dropped} instances at the maximum "
-          f"instance cap — PSNR is a lower bound", flush=True)
+            print(f"[!] eval render dropped {dropped} instances at the "
+                  f"maximum instance cap — PSNR is a lower bound", flush=True)
+            return pkg
+    print(f"[!] eval render still dropping {dropped} instances after "
+          f"repeated cap growth (cap now {trainer.instance_cap}) — PSNR is "
+          f"a lower bound", flush=True)
     return pkg
 
 
@@ -93,12 +103,17 @@ def evaluate_views(trainer, cameras, gt_images, n_views: int | None = None,
     material_stage = (trainer.pbr_fns is not None
                       and trainer._stage_flags(trainer.iteration)[1])
     brdf_lut = trainer.pbr_fns["brdf_lut"] if material_stage else None
-    if material_stage and log_images_to is not None:
+    mips = None
+    if material_stage:
         from gs2m_tpu.pbr import cubemap as cmod
-        env = np.asarray(cmod.cubemap_to_latlong(trainer.light_state,
-                                                 (256, 512)))
-        log_images_to.image(iteration, "scene/envmap",
-                            np.clip(env, 0, 1).transpose(2, 0, 1))
+        # One prefilter pass for the whole eval: the light doesn't change
+        # between views and build_mips is a dense matmul chain.
+        mips = cmod.build_mips(trainer.light_state)
+        if log_images_to is not None:
+            env = np.asarray(cmod.cubemap_to_latlong(trainer.light_state,
+                                                     (256, 512)))
+            log_images_to.image(iteration, "scene/envmap",
+                                np.clip(env, 0, 1).transpose(2, 0, 1))
 
     n = len(cameras) if n_views is None else min(n_views, len(cameras))
     psnrs, l1s, psnrs_pbr, l1s_pbr = [], [], [], []
@@ -115,7 +130,7 @@ def evaluate_views(trainer, cameras, gt_images, n_views: int | None = None,
             from gs2m_tpu.pbr.render import pbr_render
             ppkg = pbr_render(trainer.light_state, cameras[i], pkg, brdf_lut,
                               metallic_trained=trainer.model_cfg.metallic,
-                              gamma=trainer.model_cfg.gamma)
+                              gamma=trainer.model_cfg.gamma, mips=mips)
             nm = np.asarray(pkg["normal_mask"])
             # PBR image over the (zero) background outside the surface mask
             # (training_utils.py:124-127).

@@ -459,7 +459,7 @@ def test_sp_sharded_grads_match_single_chip():
         out = rasterize_from_projected(
             proj, gg.get_opacity[:, 0], feats, bg, cam, feature_count=10,
             tile=16, chunk=128, instance_cap=2 ** 13, backend="xla")
-        return jnp.mean(jnp.abs(out.color - target))
+        return jnp.mean(jnp.abs(jnp.clip(out.color, 0, 1) - target))
 
     params = g.params_dict()
     l_ref, g_ref = jax.value_and_grad(single_loss)(params)
@@ -507,7 +507,7 @@ def test_sp_halo_ssim_grads_match_single_chip():
         out = rasterize_from_projected(
             proj, gg.get_opacity[:, 0], feats, bg, cam, feature_count=10,
             tile=16, chunk=128, instance_cap=2 ** 13, backend="xla")
-        return rgb_loss(out.color, target, LAM)
+        return rgb_loss(jnp.clip(out.color, 0, 1), target, LAM)
 
     params = g.params_dict()
     l_ref, g_ref = jax.value_and_grad(single_loss)(params)
@@ -546,7 +546,8 @@ def test_sp_geometry_grads_match_single_chip():
     LAM, LDN, LPL, LAL = 0.2, 0.05, 10.0, 0.3
     cam = make_camera(width=W, height=H)
     g = make_scene(rng, n=100, capacity=128, random_pose=True)
-    bg = jnp.zeros(3)
+    bg = jnp.asarray([0.3, 0.5, 0.7])  # non-zero: exercises bg compositing
+    # in both the color term and the sobel normals (n*a + bg*(1-a))
     target = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
     gt_alpha = jnp.asarray(rng.uniform(0, 1, (1, H, W)).astype(np.float32))
 
@@ -599,12 +600,24 @@ def test_two_process_dp_matches_single_process(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     steps = 3
+    # Log to FILES, not PIPEs: sequential communicate() on worker 0 would
+    # leave worker 1's pipe undrained — past the ~64 KB OS buffer (easily
+    # exceeded by JAX warnings) worker 1 blocks on write inside a collective,
+    # worker 0 stalls at the same barrier, and the test dies by timeout
+    # instead of showing the real output.
+    logs = [open(tmp_path / f"worker{pid}.log", "w+") for pid in (0, 1)]
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(repo, "tests", "dp2_worker.py"),
          str(pid), str(port), str(tmp_path), str(steps)],
-        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=repo, stdout=logs[pid], stderr=subprocess.STDOUT,
         text=True) for pid in (0, 1)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p in procs:
+        p.wait(timeout=900)
+    outs = []
+    for f in logs:
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"WORKER{pid} OK" in out

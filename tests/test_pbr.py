@@ -228,7 +228,11 @@ def test_material_training_step_runs(tmp_path):
 
     src = build(str(tmp_path / "scene"), n_views=6, width=48, height=32,
                 n_points=60)
+    # metallic=True: trains the metallic latent AND exercises the
+    # blend_metallic eval path (feature_count 10; a missing blend_metallic
+    # in evaluate_views' render would slice an EMPTY metallic_map).
     mc = ModelConfig(source_path=src, resolution=1, material=True,
+                     metallic=True,
                      model_path=str(tmp_path / "out"))
     pipe = PipelineConfig(chunk=64, use_pallas=False)
     opt = OptimConfig(iterations=20, geometry_from_iter=2,
