@@ -157,15 +157,13 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     gauss_present = kcs[seg_hi] - kcs[seg_lo]
 
     # --- lexicographic sort by (tile, depth, slot) ---------------------------
-    # The liveness flag rides in a high bit of the gid payload: one fewer
-    # sort operand and one fewer (slow, byte-layout) bool gather later.
+    # Dead/culled rows carry tile T + depth inf, sort to the tail, and never
+    # scatter into the aligned layout below — no liveness payload needed.
     # Expansion slot ids travel as a payload so the blend backward can move
     # per-instance grads back to expansion order (where per-Gaussian runs
     # are contiguous) with gathers instead of multi-channel scatters.
-    DEAD_BIT = 1 << 30
-    packed = jnp.where(live, g, g | DEAD_BIT)
     tile_sorted, _, packed_sorted, eslot_sorted = jax.lax.sort(
-        (tile_id, depth, packed, slots), num_keys=2, is_stable=True)
+        (tile_id, depth, g, slots), num_keys=2, is_stable=True)
 
     # --- per-tile ranges: searchsorted from the SMALL side (T+1 queries over
     # the sorted keys — a 3.1M-update scatter-min costs ~33ms, these ~7500
@@ -200,14 +198,22 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
                              (n_chunks, chunk, 3)).reshape(I, 3)
     k = slots - trows[:, 0]
     in_tile = (slots < atotal) & (k < trows[:, 1])
-    src = jax.lax.optimization_barrier(jnp.clip(trows[:, 2] + k, 0, I - 1))
-    # One lane-major (2, I) gather instead of two 1-channel gathers.
-    pk2 = jnp.stack([packed_sorted, eslot_sorted], axis=0)[:, src]
-    pk = pk2[0]
-    gid = jnp.where(in_tile, pk & (DEAD_BIT - 1), 0)
-    # Null also where source slot was dead (expansion overflow tail).
-    is_null = ~in_tile | ((pk & DEAD_BIT) != 0)
-    expansion_id = jnp.where(is_null, I, pk2[1]).astype(jnp.int32)
+    # Aligned layout via SCATTER: dst = astart[tile] + rank-in-tile, where
+    # rank = sorted position - start[tile]. The previous form gathered from
+    # an I-WIDE source (gather cost scales with SOURCE width — 109 ms for
+    # 3.1M indices from a 3.1M-wide table, BASELINE gather law); this is two
+    # 1-channel scatters plus two T-wide gathers (T ~ 7.5k: cheap). Only
+    # live+kept instances scatter (culled/dead rows carry tile T and drop);
+    # dst >= I under alignment overflow also drops. Chunk-padding slots stay
+    # at their scatter init (gid 0 / expansion_id I) — exactly the old nulls.
+    live_kept = tile_sorted < T
+    t_safe = jnp.clip(tile_sorted, 0, T - 1)
+    dst = jnp.where(live_kept, astart[t_safe] + (slots - start[t_safe]), I)
+    gid = jnp.zeros((I,), jnp.int32).at[dst].set(packed_sorted, mode="drop")
+    expansion_id = jnp.full((I,), I, jnp.int32).at[dst].set(
+        eslot_sorted, mode="drop")
+    is_null = ~in_tile
+    gid = jnp.where(in_tile, gid, 0)
 
     # Per-Gaussian expansion ranges (contiguous by construction): live count
     # clips the tail lost to the expansion capacity.
