@@ -141,7 +141,13 @@ def main(argv=None):
                          "Gaussian, the 30k-run steady state); early: "
                          "knn-initialized splats (~10 instances/Gaussian, "
                          "the heavy post-SfM phase)")
+    ap.add_argument("--device", default=None,
+                    help="force a JAX platform in-process (env JAX_PLATFORMS "
+                         "is clobbered by the axon plugin in this image)")
     args = ap.parse_args(argv)
+    if args.device:
+        import jax
+        jax.config.update("jax_platforms", args.device)
 
     import time
 
