@@ -49,6 +49,7 @@ def main():
     from bench import build_bench_scene
     from gs2m_tpu.models.render import render
     from gs2m_tpu.ops.binning import bin_gaussians
+    from gs2m_tpu.ops.blend_pallas import _gather_instances, _segmented_reduce
     from gs2m_tpu.ops.projection import project
 
     W, H, chunk = args.width, args.height, 128
@@ -87,9 +88,30 @@ def main():
         sync(out)
         return (time.perf_counter() - t0) / args.iters * 1e3
 
+    # Index-space sub-stages of the blend (historically 25-53 ms each on
+    # chip): the (8+V, C) -> (8+V, I) instance gather and the backward's
+    # sort + rank + two-level-prefix segmented reduction. Timing them as
+    # standalone jits splits "blend kernel proper" from "data movement
+    # around it" in the derived numbers below.
+    binned = bin_jit(proj)
+    V = 8  # geometry-stage value-table width (ops/rasterize.value_width)
+    key = jax.random.PRNGKey(0)
+    vals_c = jax.random.normal(key, (args.gaussians, V))
+    dvals_i = jax.random.normal(key, (V, cap))
+    dgeom_i = jax.random.normal(key, (8, cap))
+
+    gather_jit = jax.jit(lambda v: _gather_instances(
+        v, proj.means2d, proj.conics, opac, binned.gid, binned.is_null))
+    reduce_jit = jax.jit(lambda dv: _segmented_reduce(
+        dv, dgeom_i, binned.expansion_id, binned.gauss_offset,
+        binned.gauss_present, binned.dropped, chunk))
+
     res = {
         "projection_ms": timeit(proj_jit, g, lambda o: float(o.depths[0])),
         "binning_ms": timeit(bin_jit, proj, lambda o: int(o.num_instances)),
+        "gather_ms": timeit(gather_jit, vals_c, lambda o: float(o[0][0, 0])),
+        "seg_reduce_ms": timeit(reduce_jit, dvals_i,
+                                lambda o: float(o[0, 0])),
         "full_fwd_ms": timeit(fwd_jit, params, float),
         "full_step_ms": timeit(step_jit, params,
                                lambda o: float(o["xyz"][0, 0])),
@@ -98,6 +120,10 @@ def main():
         res["full_fwd_ms"] - res["projection_ms"] - res["binning_ms"], 2)
     res["blend_bwd_ms_derived"] = round(
         res["full_step_ms"] - res["full_fwd_ms"], 2)
+    res["blend_fwd_kernel_ms_derived"] = round(
+        res["blend_fwd_ms_derived"] - res["gather_ms"], 2)
+    res["blend_bwd_kernel_ms_derived"] = round(
+        res["blend_bwd_ms_derived"] - res["seg_reduce_ms"], 2)
     res.update(instances=int(probe.num_instances), instance_cap=cap,
                gaussians=args.gaussians, width=W, height=H,
                backend=args.backend,

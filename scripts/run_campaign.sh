@@ -5,14 +5,15 @@
 # quality gate (auto-resumes). Logs under /tmp/campaign/.
 #
 # Global deadline: all work stops by DEADLINE_EPOCH so no child is still
-# holding the chip when the round driver runs bench.py at round end (~13:30).
+# holding the chip when the round driver runs bench.py at round end.
+# Override with CAMPAIGN_DEADLINE="YYYY-MM-DD HH:MM UTC" (default: +10 hours).
 set -u
 LOG=/tmp/campaign
 mkdir -p $LOG
 export PYTHONPATH=/root/.axon_site:/root/repo
 cd /root/repo
 
-DEADLINE_EPOCH=$(date -d "2026-08-18 11:30 UTC" +%s)
+DEADLINE_EPOCH=$(date -d "${CAMPAIGN_DEADLINE:-+10 hours}" +%s)
 
 stamp() { date +%H:%M:%S; }
 remaining() { echo $(( DEADLINE_EPOCH - $(date +%s) )); }
