@@ -125,6 +125,34 @@ def sphere_chamfer(mesh_ply: str, radius: float = 1.0) -> dict:
     }
 
 
+def composite_chamfer(mesh_ply: str) -> dict:
+    """Bidirectional chamfer between the mesh and the analytic composite
+    surface (sphere + box + finite ground plane; geometry constants and the
+    exact unsigned distance live in tests/make_synthetic_scene.py so the
+    builder and the metric can never drift apart)."""
+    from scipy.spatial import cKDTree
+
+    from gs2m_tpu.data.ply import fetch_mesh
+    from scripts.eval_dtu import sample_mesh_surface
+    from tests.make_synthetic_scene import (composite_surface_distance,
+                                            sample_composite_surface)
+
+    verts, faces, _ = fetch_mesh(mesh_ply)
+    if len(faces) > 0:
+        pts = sample_mesh_surface(verts.astype(np.float64), faces, 0.01)
+    else:
+        pts = verts.astype(np.float64)
+    d_m2s = composite_surface_distance(pts)
+    surf = sample_composite_surface(30_000, seed=1).astype(np.float64)
+    d_s2m, _ = cKDTree(pts).query(surf, k=1, workers=-1)
+    return {
+        "mesh_to_surface_mean": float(d_m2s.mean()),
+        "surface_to_mesh_mean": float(d_s2m.mean()),
+        "chamfer_mean": float(0.5 * (d_m2s.mean() + d_s2m.mean())),
+        "mesh_points": int(len(pts)),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/gs2m_quality")
@@ -136,6 +164,14 @@ def main(argv=None):
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing trained model dir")
     ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--scene", default="sphere",
+                    choices=("sphere", "composite"),
+                    help="composite = sphere + box + ground plane with "
+                         "analytic SDF chamfer: sharp edges, a large planar "
+                         "region, contact lines and occlusion — the failure "
+                         "modes the sphere gate cannot see")
+    ap.add_argument("--device", default=None,
+                    help="force a jax platform for ALL stages (e.g. cpu)")
     ap.add_argument("--production", action="store_true",
                     help="DTU-shaped full-protocol config (VERDICT r2 #2): "
                          "800x600, 49 views, 30k iterations with the "
@@ -177,24 +213,33 @@ def main(argv=None):
 
     if not os.path.exists(os.path.join(scene_dir, "sparse/0/images.bin")):
         print("[>] Building synthetic surface scene", flush=True)
-        if args.production:
-            # Production scene: fine splats (scale ~ inter-point spacing of
-            # the 40k cloud), per-point noise texture, SfM cloud = 25% of the
-            # true points (densification must recover the rest). GT renders
-            # on the chip — 49 views at 800x600 through the XLA twin is CPU-
-            # hostile but seconds on TPU.
+        # Composite splat scale ~ inter-point spacing: sqrt(area/n) with
+        # visible area ~ 14.7 (sphere 3.1 + box 2.5 + plane 9.1). Sphere
+        # scales stay the historical constants (the campaign's production
+        # config must not drift under a measurement in flight).
+        if args.scene == "composite":
+            scale = round((14.7 / args.points) ** 0.5, 3)
+        elif args.production:
             scale = 0.02 if not args.smoke else 0.06
+        else:
+            scale = 0.05
+        if args.production:
+            # Production scene: per-point noise texture, SfM cloud = 25% of
+            # the true points (densification must recover the rest). GT
+            # renders on the chip — 49 views at 800x600 through the XLA twin
+            # is CPU-hostile but seconds on TPU.
             cap = "2**20" if not args.smoke else "2**15"
-            build_args = (f"n_points={args.points}, surface=True, "
+            build_args = (f"n_points={args.points}, scene='{args.scene}', "
                           f"opacity_boost=8.0, point_scale={scale}, "
                           "texture='noise', sfm_fraction=0.25, "
                           f"instance_cap={cap}")
-            dev_prelude = ("import jax; jax.config.update('jax_platforms', "
-                           "'cpu');") if args.smoke else ""
+            on_cpu = args.smoke or args.device == "cpu"
         else:
-            build_args = (f"n_points={args.points}, surface=True, "
-                          "opacity_boost=8.0, point_scale=0.05")
-            dev_prelude = "import jax; jax.config.update('jax_platforms', 'cpu');"
+            build_args = (f"n_points={args.points}, scene='{args.scene}', "
+                          f"opacity_boost=8.0, point_scale={scale}")
+            on_cpu = True
+        dev_prelude = ("import jax; jax.config.update('jax_platforms', "
+                       "'cpu');") if on_cpu else ""
         run([py, "-c",
              dev_prelude +
              "import sys; sys.path.insert(0, 'tests');"
@@ -224,6 +269,12 @@ def main(argv=None):
                        "--opacity_reset_interval", "3000"]
         test_iters = (1000, 2000, 3000, args.iterations)
 
+    extra_flags = []
+    if args.device:
+        extra_flags += ["--device", args.device]
+    if args.backend != "pallas":
+        extra_flags += ["--no-use_pallas"]
+
     t0 = time.time()
     if not args.skip_train:
         # Checkpoint at every test iteration: the resume loop can then lose
@@ -231,7 +282,7 @@ def main(argv=None):
         run_train_resumable(
             [py, "-m", "gs2m_tpu.apps.train",
              "-s", scene_dir, "-m", model_dir, "--eval", "-r", "1",
-             "--iterations", str(args.iterations), *stage_flags,
+             "--iterations", str(args.iterations), *stage_flags, *extra_flags,
              "--test_iterations", *[str(v) for v in test_iters],
              "--save_iterations", str(args.iterations),
              "--checkpoint_iterations", *[str(v) for v in test_iters]],
@@ -240,7 +291,8 @@ def main(argv=None):
 
     smoke = args.production and args.smoke
     voxel = "0.03" if smoke else ("0.01" if args.production else "0.02")
-    dev_flags = ["--device", "cpu"] if smoke else []
+    dev_flags = (["--device", "cpu"] if smoke else
+                 (["--device", args.device] if args.device else []))
     run([py, "-m", "gs2m_tpu.apps.render", "-m", model_dir,
          "--extract_mesh", "--voxel_size", voxel,
          "--sdf_trunc", str(4 * float(voxel)),
@@ -257,7 +309,8 @@ def main(argv=None):
             if f in ("tsdf_post.ply", "tsdf.ply"):
                 mesh_dir = os.path.join(root, f)
     assert mesh_dir, f"no TSDF mesh found under {model_dir}"
-    chamfer = sphere_chamfer(mesh_dir)
+    chamfer = (composite_chamfer(mesh_dir) if args.scene == "composite"
+               else sphere_chamfer(mesh_dir))
 
     metrics = {}
     mpath = os.path.join(model_dir, "metrics_test.json")
@@ -280,7 +333,8 @@ def main(argv=None):
             rough_active = rec.get("rough_active", rough_active)
 
     result = {
-        "scene": ("synthetic_sphere_noise" if args.production
+        "scene": ("synthetic_composite" if args.scene == "composite"
+                  else "synthetic_sphere_noise" if args.production
                   else "synthetic_sphere"),
         "production": bool(args.production),
         "resolution": f"{args.width}x{args.height}",

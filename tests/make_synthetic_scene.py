@@ -53,11 +53,129 @@ def make_sphere_data(n_points: int = 4000, radius: float = 1.0, seed: int = 0,
     return pts, cols
 
 
+# ---------------------------------------------------------------------------
+# Composite scene: sphere + box resting on a finite ground plane.
+#
+# Single source of truth for BOTH the scene builder and the analytic chamfer
+# in scripts/run_quality_gate.py. The sphere-only gate's chamfer is bounded
+# by the splat thickness of a smooth convex surface; this scene adds the
+# failure modes real reconstruction is judged on: sharp box edges, a large
+# planar region (where the depth-normal prior must flatten the splats),
+# object-ground contact lines, and inter-object occlusion.
+#
+# Coordinates: COLMAP y-down (world-up is -y). The ground is the square
+# y = GROUND_Y, |x|,|z| <= GROUND_HALF; objects rest on it (bottoms tangent).
+# ---------------------------------------------------------------------------
+
+COMPOSITE = {
+    "ground_y": 0.5, "ground_half": 1.6,
+    "sphere_c": np.array([-0.55, 0.0, 0.1]), "sphere_r": 0.5,
+    "box_c": np.array([0.6, 0.1, -0.1]), "box_h": np.array([0.35, 0.4, 0.3]),
+    # visible-surface exclusions (regions no ring camera can see)
+    "contact_eps": 0.04,   # sphere cap / plane ring this close to contact
+}
+
+
+def composite_surface_distance(pts: np.ndarray) -> np.ndarray:
+    """Exact unsigned distance from (N, 3) points to the composite surface
+    (min over primitives; finite-plane distance includes the square edges)."""
+    c = COMPOSITE
+    d_sph = np.abs(np.linalg.norm(pts - c["sphere_c"], axis=1) - c["sphere_r"])
+    q = np.abs(pts - c["box_c"]) - c["box_h"]
+    outside = np.linalg.norm(np.maximum(q, 0.0), axis=1)
+    inside = np.minimum(np.max(q, axis=1), 0.0)
+    d_box = np.abs(outside + inside)
+    dy = np.abs(pts[:, 1] - c["ground_y"])
+    dx = np.maximum(np.abs(pts[:, 0]) - c["ground_half"], 0.0)
+    dz = np.maximum(np.abs(pts[:, 2]) - c["ground_half"], 0.0)
+    d_pln = np.sqrt(dy * dy + dx * dx + dz * dz)
+    return np.minimum(np.minimum(d_sph, d_box), d_pln)
+
+
+def _plane_footprint_free(p: np.ndarray) -> np.ndarray:
+    """Mask of plane points NOT under the sphere or the box (invisible)."""
+    c = COMPOSITE
+    in_sph = (np.linalg.norm(p[:, [0, 2]] - c["sphere_c"][[0, 2]], axis=1)
+              < c["sphere_r"] + c["contact_eps"])
+    in_box = (np.all(np.abs(p[:, [0, 2]] - c["box_c"][[0, 2]])
+                     < c["box_h"][[0, 2]] + c["contact_eps"], axis=1))
+    return ~(in_sph | in_box)
+
+
+def sample_composite_surface(n_points: int, seed: int = 0) -> np.ndarray:
+    """Area-weighted samples of the VISIBLE composite surface: sphere minus
+    the contact cap, box minus the bottom face, plane minus the object
+    footprints. Used for the builder's splat centers and for the chamfer's
+    surface->mesh coverage term."""
+    c = COMPOSITE
+    rng = np.random.default_rng(seed)
+    r, h, E = c["sphere_r"], c["box_h"], c["ground_half"]
+    area_sph = 4 * np.pi * r * r
+    # box faces: +-x (hy*hz), +-z (hx*hy), top only in y (hx*hz)
+    fa = np.array([h[1] * h[2], h[1] * h[2], h[0] * h[1], h[0] * h[1],
+                   h[0] * h[2]]) * 4.0
+    area_box = fa.sum()
+    area_pln = (2 * E) ** 2 - np.pi * r ** 2 - 4 * h[0] * h[2]
+    w = np.array([area_sph, area_box, area_pln])
+    n_sph, n_box = (np.floor(n_points * w[:2] / w.sum())).astype(int)
+    n_pln = n_points - n_sph - n_box
+
+    out = []
+    # Sphere minus the contact cap (y > ground - eps is touching the plane).
+    need = n_sph
+    while need > 0:
+        v = rng.normal(size=(2 * need + 16, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        p = c["sphere_c"] + r * v
+        p = p[p[:, 1] < c["ground_y"] - c["contact_eps"]][:need]
+        out.append(p)
+        need -= len(p)
+    # Box faces (skip the bottom +y face flush with the ground).
+    face = rng.choice(5, size=n_box, p=fa / fa.sum())
+    u = rng.uniform(-1, 1, (n_box, 2))
+    bp = np.zeros((n_box, 3))
+    for f, (ax, sgn) in enumerate([(0, 1), (0, -1), (2, 1), (2, -1), (1, -1)]):
+        m = face == f
+        oth = [a for a in range(3) if a != ax]
+        bp[m, ax] = sgn * h[ax]
+        bp[m, oth[0]] = u[m, 0] * h[oth[0]]
+        bp[m, oth[1]] = u[m, 1] * h[oth[1]]
+    out.append(c["box_c"] + bp)
+    # Plane minus object footprints.
+    need = n_pln
+    while need > 0:
+        p = np.column_stack([rng.uniform(-E, E, 2 * need + 16),
+                             np.full(2 * need + 16, c["ground_y"]),
+                             rng.uniform(-E, E, 2 * need + 16)])
+        p = p[_plane_footprint_free(p)][:need]
+        out.append(p)
+        need -= len(p)
+    return np.concatenate(out).astype(np.float32)
+
+
+def make_composite_data(n_points: int = 40_000, seed: int = 0):
+    """Composite-scene splat centers + noise-textured colors (per-primitive
+    base tones so the photometric loss carries segmentation structure, plus
+    per-point noise so densification has to work)."""
+    c = COMPOSITE
+    pts = sample_composite_surface(n_points, seed)
+    rng = np.random.default_rng(seed + 7)
+    on_sph = (np.abs(np.linalg.norm(pts - c["sphere_c"], axis=1)
+                     - c["sphere_r"]) < 1e-4)
+    on_pln = np.abs(pts[:, 1] - c["ground_y"]) < 1e-4
+    base = np.where(on_sph[:, None], np.array([[0.75, 0.40, 0.30]]),
+                    np.where(on_pln[:, None], np.array([[0.45, 0.50, 0.40]]),
+                             np.array([[0.30, 0.50, 0.75]])))
+    cols = np.clip(0.75 * base + 0.35 * rng.uniform(0, 1, (len(pts), 3)),
+                   0.0, 1.0).astype(np.float32)
+    return pts, cols
+
+
 def build(out_dir: str, n_views: int = 10, width: int = 64, height: int = 48,
           n_points: int = 300, seed: int = 0, surface: bool = False,
           opacity_boost: float = 6.0, point_scale: float | None = None,
           texture: str = "smooth", instance_cap: int = 2 ** 15,
-          sfm_fraction: float = 0.5):
+          sfm_fraction: float = 0.5, scene: str | None = None):
     import jax.numpy as jnp
     from PIL import Image
 
@@ -67,10 +185,20 @@ def build(out_dir: str, n_views: int = 10, width: int = 64, height: int = 48,
     from gs2m_tpu.ops.projection import project
     from gs2m_tpu.ops.rasterize import build_features, rasterize_from_projected
 
-    if surface:
+    if scene is None:
+        scene = "sphere" if surface else "cloud"
+    if scene == "composite":
+        pts, cols = make_composite_data(n_points, seed=seed)
+        # Cameras on the world-up (-y) side, two interleaved heights so the
+        # box sides, the ground, and the occlusion boundaries all get views.
+        ring = lambda i: ring_camera(2 * np.pi * i / n_views, dist=3.4,
+                                     height=(-1.6 if i % 2 else -0.9))
+    elif scene == "sphere":
         pts, cols = make_sphere_data(n_points, seed=seed, texture=texture)
+        ring = lambda i: ring_camera(2 * np.pi * i / n_views)
     else:
         pts, cols = make_scene_data(n_points, seed)
+        ring = lambda i: ring_camera(2 * np.pi * i / n_views)
     msd = (np.full(pts.shape[0], point_scale ** 2, np.float32)
            if point_scale is not None else None)
     g = Gaussians.create(pts, cols, max_sh_degree=1, capacity=pts.shape[0],
@@ -84,7 +212,7 @@ def build(out_dir: str, n_views: int = 10, width: int = 64, height: int = 48,
     cams[1] = cm.ColmapCamera(1, "PINHOLE", width, height,
                               np.array([fx, fy, width / 2, height / 2], np.float64))
     for i in range(n_views):
-        R, T = ring_camera(2 * np.pi * i / n_views)
+        R, T = ring(i)
         name = f"view_{i:03d}.png"
         imgs[i + 1] = cm.ColmapImage(i + 1, cm.rotmat_to_qvec(R.T), T, 1, name)
 
