@@ -104,6 +104,10 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=300)
     ap.add_argument("--points", type=int, default=20_000)
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--device", default=None,
+                    help="force a jax platform for ALL stages (e.g. cpu)")
+    ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--chunk", type=int, default=None)
     args = ap.parse_args(argv)
 
     scene_dir = os.path.join(args.out, "scene")
@@ -113,20 +117,41 @@ def main(argv=None):
     if not os.path.exists(os.path.join(scene_dir, "sparse/0/images.bin")):
         print("[>] Building glossy scene", flush=True)
         # GT renders on the chip: 36 views at 400x300 through the XLA twin
-        # is seconds on TPU but hours on this 1-core host.
+        # is seconds on TPU but hours on this 1-core host — except when the
+        # whole gate is forced to CPU, where the scene is sized down anyway.
+        dev_prelude = ("import jax; jax.config.update('jax_platforms', "
+                       "'cpu');") if args.device == "cpu" else ""
         run([py, "-c",
+             dev_prelude +
              "import sys; sys.path.insert(0, 'tests');"
              "from make_synthetic_scene import build_glossy;"
              f"build_glossy('{scene_dir}', n_views={args.views}, "
              f"width={args.width}, height={args.height}, "
              f"n_points={args.points})"])
 
+    extra_flags = []
+    if args.device:
+        extra_flags += ["--device", args.device]
+    if args.backend != "pallas":
+        extra_flags += ["--no-use_pallas"]
+    if args.chunk:
+        extra_flags += ["--chunk", str(args.chunk)]
+    if args.iterations < 10_000:
+        # Same stage STRUCTURE as the 10k glossy protocol, compressed: the
+        # material stage still gets the second half of the run (the trainer
+        # maps material_from_iter = geometry_from_iter under --material),
+        # and opacity resets still fire a few times before it starts.
+        extra_flags += ["--geometry_from_iter", str(args.iterations // 2),
+                        "--opacity_reset_interval",
+                        str(max(400, (3 * args.iterations) // 10))]
+
     t0 = time.time()
     if not args.skip_train:
         # Auto-resume from the newest checkpoint on a mid-run tunnel drop
         # (same policy as the production quality gate).
         from scripts.run_quality_gate import run_train_resumable
-        test_iters = (2000, 5000, 7000, args.iterations)
+        its = args.iterations
+        test_iters = tuple(sorted({its // 5, its // 2, (7 * its) // 10, its}))
         run_train_resumable(
             [py, "-m", "gs2m_tpu.apps.train",
              "-s", scene_dir, "-m", model_dir,
@@ -134,18 +159,20 @@ def main(argv=None):
              "--masks", "masks", "-r", "1",
              "--reflection_threshold", "0.2", "--lambda_smooth", "0.5",
              "--lambda_normal", "0.5",
-             "--iterations", str(args.iterations),
+             "--iterations", str(args.iterations), *extra_flags,
              "--test_iterations", *[str(v) for v in test_iters],
              "--save_iterations", str(args.iterations),
              "--checkpoint_iterations", *[str(v) for v in test_iters]],
             model_dir)
     train_min = (time.time() - t0) / 60.0
 
+    dev_flags = ["--device", args.device] if args.device else []
     run([py, "-m", "gs2m_tpu.apps.render", "-m", model_dir,
-         "--iteration", str(args.iterations), "--label", "ours"])
-    run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir])
+         "--iteration", str(args.iterations), "--label", "ours", *dev_flags])
+    run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir, *dev_flags])
     # Held-out PBR metrics — the gate's metrics["test"] field reads this.
-    run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir, "--split", "test"])
+    run([py, "-m", "gs2m_tpu.apps.metrics", "-m", model_dir,
+         "--split", "test", *dev_flags])
 
     # Gate checks.
     light_pkl = os.path.join(model_dir, "point_cloud",
@@ -172,7 +199,8 @@ def main(argv=None):
 
     result = {
         "scene": "glossy_sphere_analytic_env",
-        "protocol": "run_glossy (10k iters, reflection_threshold 0.2)",
+        "protocol": (f"run_glossy ({args.iterations} iters, "
+                     "reflection_threshold 0.2)"),
         "resolution": f"{args.width}x{args.height}",
         "iterations": args.iterations,
         "train_minutes": round(train_min, 2),

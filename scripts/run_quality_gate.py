@@ -172,6 +172,8 @@ def main(argv=None):
                          "modes the sphere gate cannot see")
     ap.add_argument("--device", default=None,
                     help="force a jax platform for ALL stages (e.g. cpu)")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="blend chunk override for the train stage")
     ap.add_argument("--production", action="store_true",
                     help="DTU-shaped full-protocol config (VERDICT r2 #2): "
                          "800x600, 49 views, 30k iterations with the "
@@ -274,6 +276,8 @@ def main(argv=None):
         extra_flags += ["--device", args.device]
     if args.backend != "pallas":
         extra_flags += ["--no-use_pallas"]
+    if args.chunk:
+        extra_flags += ["--chunk", str(args.chunk)]
 
     t0 = time.time()
     if not args.skip_train:
