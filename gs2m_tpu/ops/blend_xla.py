@@ -102,9 +102,27 @@ def blend_tiles_xla(values: jnp.ndarray,    # (C, V) rows: rgb(3) + features
     off_y = (jnp.arange(P, dtype=jnp.int32) // tile).astype(jnp.float32)
     off_x = (jnp.arange(P, dtype=jnp.int32) % tile).astype(jnp.float32)
 
+    # SEGMENTED scan: chunk_tile is non-decreasing (instances are sorted by
+    # tile; padding chunks carry the sentinel tile T), so a tile's chunks are
+    # contiguous and the scan only ever needs the CURRENT tile's per-pixel
+    # state. Carrying (P,) state with a reset at tile boundaries — instead of
+    # the old (T+1, P) full-image carry indexed at row t — matters for the
+    # backward: jax.checkpoint(step) still saves the carry at EVERY step, and
+    # at bench scale (16384 chunks x 7501 tiles x 256 px) the old layout's
+    # saved logT alone was 125 GB (the r4 on-chip grad-gate OOM). Per-tile
+    # results are emitted as scan outputs and gathered at each tile's last
+    # chunk below; the per-tile math (chunk order, compositing, accumulation
+    # order) is unchanged, so outputs are bit-identical.
+    fresh = jnp.concatenate([
+        jnp.ones((1,), bool),
+        binning.chunk_tile[1:] != binning.chunk_tile[:-1]])
+
     def step(carry, inp):
-        logT, done, acc = carry  # (T+1, P), (T+1, P), (T+1, 16, P)
-        gids, nulls, t = inp
+        logT, done, acc = carry  # (P,), (P,), (V, P): current tile's state
+        gids, nulls, t, new_tile = inp
+        logT = jnp.where(new_tile, 0.0, logT)
+        done = jnp.where(new_tile, False, done)
+        acc = jnp.where(new_tile, 0.0, acc)
         m2 = means2d[gids]
         co = conics[gids]
         op = jnp.where(nulls, 0.0, opacities[gids])
@@ -118,34 +136,43 @@ def blend_tiles_xla(values: jnp.ndarray,    # (C, V) rows: rgb(3) + features
 
         alpha = _chunk_alpha(m2, co, op, pix_x, pix_y, inside)
         w, logT_excl, contribute, new_logT, new_done = _chunk_blend(
-            alpha, logT[t], done[t])
+            alpha, logT, done)
 
         outv = vals.T @ w  # (V, P) MXU
         obs = jnp.sum((contribute & (logT_excl > jnp.log(0.5))).astype(jnp.int32), axis=1)
 
-        logT = logT.at[t].set(new_logT)
-        done = done.at[t].set(new_done)
-        acc = acc.at[t].add(outv)
-        return (logT, done, acc), (obs, gids)
+        acc = acc + outv
+        return (new_logT, new_done, acc), (obs, new_logT, acc)
 
-    logT0 = jnp.zeros((T + 1, P), values.dtype)
-    done0 = jnp.zeros((T + 1, P), bool)
-    acc0 = jnp.zeros((T + 1, V, P), values.dtype)
+    logT0 = jnp.zeros((P,), values.dtype)
+    done0 = jnp.zeros((P,), bool)
+    acc0 = jnp.zeros((V, P), values.dtype)
     # Remat the chunk body: plain autodiff of the scan saves every chunk's
     # (chunk, P) alpha/weight intermediates — O(I*P) residual memory OOMs
     # above ~650k instances on one chip, capping gradient-parity checks
     # below bench scale. Recomputing them in the backward sweep costs one
     # extra forward pass and bounds residuals to the scan carries.
-    (logT, _, acc), (obs_chunks, gid_chunks) = jax.lax.scan(
+    _, (obs_chunks, logT_chunks, acc_chunks) = jax.lax.scan(
         jax.checkpoint(step), (logT0, done0, acc0),
-        (gid, null, binning.chunk_tile))
+        (gid, null, binning.chunk_tile, fresh))
 
-    observe = jnp.zeros((C,), jnp.int32).at[gid_chunks.reshape(-1)].add(
+    observe = jnp.zeros((C,), jnp.int32).at[gid.reshape(-1)].add(
         obs_chunks.reshape(-1))
 
+    # Gather each tile's state at its LAST chunk (scatter-max over the sorted
+    # chunk->tile map; empty tiles masked via tile_nonempty, sentinel chunks
+    # land in row T which is sliced off).
+    last_chunk = jnp.zeros((T + 1,), jnp.int32).at[binning.chunk_tile].max(
+        jnp.arange(n_chunks, dtype=jnp.int32))
+    nonempty = binning.tile_nonempty[:T]
+    acc_tiles = jnp.where(nonempty[:, None, None],
+                          acc_chunks[last_chunk[:T]], 0.0)      # (T, V, P)
+    logT_tiles = jnp.where(nonempty[:, None],
+                           logT_chunks[last_chunk[:T]], 0.0)    # (T, P)
+
     # Untile to (V, Hp, Wp) and (Hp, Wp).
-    img = acc[:T].reshape(grid_y, grid_x, V, tile, tile)
+    img = acc_tiles.reshape(grid_y, grid_x, V, tile, tile)
     img = img.transpose(2, 0, 3, 1, 4).reshape(V, grid_y * tile, grid_x * tile)
-    fT = jnp.exp(logT[:T]).reshape(grid_y, grid_x, tile, tile)
+    fT = jnp.exp(logT_tiles).reshape(grid_y, grid_x, tile, tile)
     fT = fT.transpose(0, 2, 1, 3).reshape(grid_y * tile, grid_x * tile)
     return BlendOut(image=img, final_T=fT, observe=observe)
