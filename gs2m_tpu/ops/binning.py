@@ -201,14 +201,25 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     # Aligned layout via SCATTER: dst = astart[tile] + rank-in-tile, where
     # rank = sorted position - start[tile]. The previous form gathered from
     # an I-WIDE source (gather cost scales with SOURCE width — 109 ms for
-    # 3.1M indices from a 3.1M-wide table, BASELINE gather law); this is two
-    # 1-channel scatters plus two T-wide gathers (T ~ 7.5k: cheap). Only
-    # live+kept instances scatter (culled/dead rows carry tile T and drop);
-    # dst >= I under alignment overflow also drops. Chunk-padding slots stay
-    # at their scatter init (gid 0 / expansion_id I) — exactly the old nulls.
+    # 3.1M indices from a 3.1M-wide table, BASELINE gather law). The shift
+    # astart[tile] - start[tile] is CONSTANT over each tile's sorted segment,
+    # so instead of two (T-wide source, I-index) gathers — which are NOT
+    # cheap: gather also has a per-INDEX floor, measured 17 + 11 ms at
+    # I ~ 2M from a 1900-wide table (r4 train-step trace) — scatter the
+    # per-tile shift DIFFS at the segment starts (T updates) and carry the
+    # shift forward with one I-cumsum (~5 ms): the boundary_lookup pattern.
+    # Empty tiles collapse onto the next start; their diffs accumulate at
+    # the same position, so the cumsum still lands on the owning tile's
+    # shift. Only live+kept instances scatter (culled/dead rows carry tile
+    # T and drop); dst >= I under alignment overflow also drops. Chunk-
+    # padding slots stay at their scatter init (gid 0 / expansion_id I) —
+    # exactly the old nulls.
     live_kept = tile_sorted < T
-    t_safe = jnp.clip(tile_sorted, 0, T - 1)
-    dst = jnp.where(live_kept, astart[t_safe] + (slots - start[t_safe]), I)
+    shift = astart - start                                   # (T,) >= 0
+    sdiff = jnp.concatenate([shift[:1], shift[1:] - shift[:-1]])
+    shift_slot = jnp.cumsum(
+        jnp.zeros((I,), jnp.int32).at[start].add(sdiff, mode="drop"))
+    dst = jnp.where(live_kept, slots + shift_slot, I)
     gid = jnp.zeros((I,), jnp.int32).at[dst].set(packed_sorted, mode="drop")
     expansion_id = jnp.full((I,), I, jnp.int32).at[dst].set(
         eslot_sorted, mode="drop")

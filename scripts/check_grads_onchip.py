@@ -40,24 +40,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # (their absolute disagreement still counts, scored against the floor).
 NOISE_FLOOR = 1e-3
 
-# Per-leaf gate tolerances on the mixed row-relative metric. f32 reduction-
-# order noise across ~650k instances sits well below these; a derivation
-# error (missing term, wrong sign, wrong chain) overshoots them by orders of
-# magnitude. rotation/scaling pass through the cov3D -> conic chain twice
-# (value + quadratic form) and carry ~4x the cancellation of the direct
-# leaves, hence the looser bound.
+# Rows at or above this fraction of the leaf's max gradient are the WELL-
+# CONDITIONED set the gate passes/fails on: a derivation error (missing
+# term, wrong sign, wrong chain) is proportional to the gradient itself, so
+# it shows up on the large rows; rows orders of magnitude below max are
+# dominated by f32 cancellation across thousands of per-instance
+# contributions that the two backends sum in different orders. r4 on-chip
+# calibration at FULL bench scale (500k Gaussians, ~1.6M instances): the
+# mixed metric's worst rows were all near-zero (e.g. f_dc pallas 1.7e-8 vs
+# xla 3.0e-10 against a 1.6e-6 leaf max) — reduction-order noise, which
+# GROWS with instance count and made the old mixed-only gate uncalibratable
+# at scale; the well-conditioned rows agree to ~1e-3. The mixed metric is
+# still reported as a diagnostic.
+WELLCOND_FRAC = 1e-2
+
+# Per-leaf gate tolerances on the well-conditioned row-relative error.
+# rotation/scaling pass through the cov3D -> conic chain twice (value +
+# quadratic form) and carry ~4x the cancellation of the direct leaves,
+# hence the looser bound. (Keys match Gaussians.params_dict.)
 TOLERANCES = {
-    "xyz": 2e-3,
-    "features_dc": 2e-3,
-    "features_rest": 2e-3,
-    "opacity": 2e-3,
-    "scaling": 8e-3,
-    "rotation": 8e-3,
-    "albedo": 2e-3,
-    "roughness": 2e-3,
-    "metallic": 2e-3,
+    "xyz": 5e-3,
+    "f_dc": 5e-3,
+    "f_rest": 5e-3,
+    "opacity": 5e-3,
+    "scaling": 2e-2,
+    "rotation": 2e-2,
+    "albedo": 5e-3,
+    "roughness": 5e-3,
+    "metallic": 5e-3,
 }
 DEFAULT_TOL = 5e-3
+# Absolute sanity bound: no leaf's worst disagreement may exceed this
+# fraction of the leaf's max gradient, conditioned or not.
+REL_TO_MAX_TOL = 5e-2
 
 
 def run_grad_check(n=500_000, width=1600, height=1200, chunk=128):
@@ -93,12 +108,17 @@ def run_grad_check(n=500_000, width=1600, height=1200, chunk=128):
         scale = np.abs(b).max() + 1e-30
         mixed = np.abs(a - b) / (np.abs(b) + NOISE_FLOOR * scale)
         i = np.unravel_index(mixed.argmax(), mixed.shape)
+        wc = np.abs(b) >= WELLCOND_FRAC * scale
+        wc_rel = np.where(wc, np.abs(a - b) / (np.abs(b) + 1e-30), 0.0)
+        rel_to_max = float(np.abs(a - b).max() / scale)
         tol = TOLERANCES.get(k, DEFAULT_TOL)
-        leaf_ok = bool(mixed.max() <= tol)
+        leaf_ok = bool(wc_rel.max() <= tol) and rel_to_max <= REL_TO_MAX_TOL
         report[k] = {
+            "wellcond_rel_max": float(wc_rel.max()),
+            "wellcond_rows": int(wc.sum()),
             "mixed_rel_max": float(mixed.max()),
             "mixed_rel_p999": float(np.quantile(mixed, 0.999)),
-            "rel_to_max": float(np.abs(a - b).max() / scale),
+            "rel_to_max": rel_to_max,
             "argmax_pallas": float(a[i]), "argmax_xla": float(b[i]),
             "tol": tol, "pass": leaf_ok,
         }

@@ -157,8 +157,9 @@ def main():
         return start, counts, astart
     start, counts, astart = timed("ranges_ms", ranges, tile_sorted)
 
-    # --- aligned-layout scatters + chunk map ---------------------------------
-    def scatters(tile_sorted, packed_sorted, eslot_sorted, start, astart):
+    # --- aligned-layout scatters + chunk map: gather form (pre-r4) vs the
+    # boundary-diff cumsum form (binning.py) ----------------------------------
+    def scatters_gather(tile_sorted, packed_sorted, eslot_sorted, start, astart):
         live_kept = tile_sorted < T
         t_safe = jnp.clip(tile_sorted, 0, T - 1)
         sl = jnp.arange(I, dtype=jnp.int32)
@@ -166,8 +167,22 @@ def main():
         gid = jnp.zeros((I,), jnp.int32).at[dst].set(packed_sorted, mode="drop")
         eid = jnp.full((I,), I, jnp.int32).at[dst].set(eslot_sorted, mode="drop")
         return gid, eid
-    timed("scatter_ms", scatters, tile_sorted, packed_sorted, eslot_sorted,
-          start, astart)
+    timed("scatter_gatherform_ms", scatters_gather, tile_sorted, packed_sorted,
+          eslot_sorted, start, astart)
+
+    def scatters_cumsum(tile_sorted, packed_sorted, eslot_sorted, start, astart):
+        live_kept = tile_sorted < T
+        shift = astart - start
+        sdiff = jnp.concatenate([shift[:1], shift[1:] - shift[:-1]])
+        shift_slot = jnp.cumsum(
+            jnp.zeros((I,), jnp.int32).at[start].add(sdiff, mode="drop"))
+        sl = jnp.arange(I, dtype=jnp.int32)
+        dst = jnp.where(live_kept, sl + shift_slot, I)
+        gid = jnp.zeros((I,), jnp.int32).at[dst].set(packed_sorted, mode="drop")
+        eid = jnp.full((I,), I, jnp.int32).at[dst].set(eslot_sorted, mode="drop")
+        return gid, eid
+    timed("scatter_cumsumform_ms", scatters_cumsum, tile_sorted, packed_sorted,
+          eslot_sorted, start, astart)
 
     # --- gauss_present (cumsum + boundary diff over I) ------------------------
     def present(keep, offsets, tt):
