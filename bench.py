@@ -220,8 +220,8 @@ def main(argv=None):
         from check_grads_onchip import run_grad_check
         grad_report, grad_ok = run_grad_check()
         aux["grad_check_pass"] = grad_ok
-        aux["grad_worst_wellcond_rel"] = round(
-            max(v["wellcond_rel_max"] for v in grad_report.values()), 6)
+        aux["grad_worst_wellcond_p999"] = round(
+            max(v["wellcond_rel_p999"] for v in grad_report.values()), 6)
     except Exception as e:  # noqa: BLE001
         aux_err = (aux_err + "; " if aux_err else "") + \
             f"grad: {type(e).__name__}: {e}"
