@@ -41,7 +41,6 @@ class Binning(NamedTuple):
     tile_nonempty: jnp.ndarray  # (n_tiles,) bool — tiles with >= 1 instance
     num_instances: jnp.ndarray  # () int32 — true instance count (pre-alignment)
     dropped: jnp.ndarray      # () int32 — instances dropped by the capacity cap
-    expansion_id: jnp.ndarray  # (I,) int32 expansion slot per aligned slot; I = null
     gauss_offset: jnp.ndarray  # (C,) int32 first expansion slot per Gaussian
     gauss_live: jnp.ndarray    # (C,) int32 live (in-capacity) instances per Gaussian
     num_aligned: jnp.ndarray  # () int32 — chunk-aligned slots in use (cap sizing)
@@ -156,14 +155,16 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     seg_hi = jnp.clip(offsets + tt, 0, I)
     gauss_present = kcs[seg_hi] - kcs[seg_lo]
 
-    # --- lexicographic sort by (tile, depth, slot) ---------------------------
+    # --- lexicographic sort by (tile, depth) with the Gaussian id payload ----
     # Dead/culled rows carry tile T + depth inf, sort to the tail, and never
     # scatter into the aligned layout below — no liveness payload needed.
-    # Expansion slot ids travel as a payload so the blend backward can move
-    # per-instance grads back to expansion order (where per-Gaussian runs
-    # are contiguous) with gathers instead of multi-channel scatters.
-    tile_sorted, _, packed_sorted, eslot_sorted = jax.lax.sort(
-        (tile_id, depth, g, slots), num_keys=2, is_stable=True)
+    # No expansion-slot payload either (r4): the blend backward's segmented
+    # reduce only needs GROUPING by Gaussian, and gid is an equivalent sort
+    # key (expansion order is Gaussian-index-major), so the eslot payload and
+    # the second aligned-layout scatter it fed were dead weight (~9 ms/view
+    # each at cap 2M, r4 trace).
+    tile_sorted, _, packed_sorted = jax.lax.sort(
+        (tile_id, depth, g), num_keys=2, is_stable=True)
 
     # --- per-tile ranges: searchsorted from the SMALL side (T+1 queries over
     # the sorted keys — a 3.1M-update scatter-min costs ~33ms, these ~7500
@@ -212,7 +213,7 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
     # the same position, so the cumsum still lands on the owning tile's
     # shift. Only live+kept instances scatter (culled/dead rows carry tile
     # T and drop); dst >= I under alignment overflow also drops. Chunk-
-    # padding slots stay at their scatter init (gid 0 / expansion_id I) —
+    # padding slots stay at their scatter init (gid 0) —
     # exactly the old nulls.
     live_kept = tile_sorted < T
     shift = astart - start                                   # (T,) >= 0
@@ -221,8 +222,6 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
         jnp.zeros((I,), jnp.int32).at[start].add(sdiff, mode="drop"))
     dst = jnp.where(live_kept, slots + shift_slot, I)
     gid = jnp.zeros((I,), jnp.int32).at[dst].set(packed_sorted, mode="drop")
-    expansion_id = jnp.full((I,), I, jnp.int32).at[dst].set(
-        eslot_sorted, mode="drop")
     is_null = ~in_tile
     gid = jnp.where(in_tile, gid, 0)
 
@@ -247,7 +246,6 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
         tile_nonempty=(counts > 0) & covered,
         num_instances=total.astype(jnp.int32),
         dropped=(dropped_expand + dropped_align).astype(jnp.int32),
-        expansion_id=expansion_id,
         gauss_offset=gauss_offset,
         gauss_live=gauss_live,
         num_aligned=jnp.minimum(atotal, I).astype(jnp.int32),

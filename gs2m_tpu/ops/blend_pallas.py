@@ -509,45 +509,41 @@ def _retile(g_img, g_fT, grid_y, grid_x, tile):
     return jnp.concatenate([gi, pad_i], 0), jnp.concatenate([gt, pad_t], 0)
 
 
-def _segmented_reduce(dvals, dgeom, expansion_id, gauss_offset,
-                      gauss_present, dropped, chunk):
+def _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk):
     """Deterministic per-Gaussian sum of per-instance gradients -> (K, C).
 
-    Each Gaussian's instances occupy a CONTIGUOUS range in EXPANSION order
-    (binning gauss_offset), so sum-per-Gaussian = prefix difference at the
-    range boundaries once the grads are in expansion-id order. The reorder
-    rides the K grad channels as `lax.sort` payloads (~53 ms at 3.1M x 24):
-    TPU gather cost scales with SOURCE-TABLE width, so a permutation gather
+    The reduce needs only GROUPING by Gaussian, and the expansion order is
+    Gaussian-index-major, so the sort key is the per-slot Gaussian id
+    directly (`key` = gid with the sentinel C on null slots) — r4: this
+    replaced the expansion-id key, deleting binning's second aligned-layout
+    scatter and its eslot sort payload (~10 ms/view). The reorder rides the
+    K grad channels as `lax.sort` payloads (~53 ms at 3.1M x 24): TPU
+    gather cost scales with SOURCE-TABLE width, so a permutation gather
     from the 3.1M-wide per-instance table costs ~109 ms — twice the sort —
     even though the same-index gather from the 500k-wide per-GAUSSIAN table
     costs only 25 ms (measured; see _gather_instances)."""
     V = dvals.shape[0]
     K = V + 8
-    I = expansion_id.shape[0]
-    C = gauss_offset.shape[0]
+    I = key.shape[0]
+    C = gauss_present.shape[0]
     per_inst = jnp.concatenate([dvals, dgeom], axis=0)  # (K, I)
-    key = expansion_id  # already I for null slots (binning.py)
     sorted_ops = jax.lax.sort((key,) + tuple(per_inst[k] for k in range(K)),
                               num_keys=1, is_stable=False)
-    grads_exp = jnp.stack(sorted_ops[1:], axis=0)       # (K, I) rank order
+    grads_exp = jnp.stack(sorted_ops[1:], axis=0)       # (K, I) grouped by id
 
-    # Rank of each segment boundary among the PRESENT ids. Fast path
+    # Rank of each segment boundary among the sorted keys. Fast path
     # (dropped == 0, the steady state — the trainer grows the buffer on any
-    # drop): present ids are exactly the cull survivors, whose per-Gaussian
-    # counts binning already knows — an exclusive cumsum over C. Exact path
-    # (transient overflow): presence scatter + cumsum over I (~24 ms).
-    bounds = jnp.concatenate(
-        [gauss_offset, jnp.array([I], jnp.int32)])       # (C+1,) expansion ids
-
+    # drop): per-Gaussian slot counts are exactly binning's cull-survivor
+    # counts — an exclusive cumsum over C. Exact path (transient overflow):
+    # count the ids actually present in the aligned layout (C-wide
+    # scatter-add; null slots carry the out-of-range sentinel and drop).
     def rank_fast(_):
         return jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                 jnp.cumsum(gauss_present)])
 
     def rank_exact(_):
-        pres = jnp.zeros((I + 1,), jnp.int32).at[key].add(1, mode="drop")[:I]
-        rank_excl = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(pres)])
-        return rank_excl[bounds]
+        cnt = jnp.zeros((C,), jnp.int32).at[key].add(1, mode="drop")
+        return jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
 
     r = jax.lax.cond(dropped == 0, rank_fast, rank_exact, None)  # (C+1,)
 
@@ -568,16 +564,14 @@ def _segmented_reduce(dvals, dgeom, expansion_id, gauss_offset,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(14, 15, 16, 17, 18))
+                   nondiff_argnums=(11, 12, 13, 14, 15))
 def _blend_pallas_core(values, means2d, conics, opacities, abs_sink,
                        gid, is_null, chunk_tile, tile_nonempty,
-                       expansion_id, gauss_offset, gauss_live,
                        gauss_present, dropped,
                        height: int, width: int, tile: int, chunk: int,
                        interpret: bool):
     out, _ = _blend_fwd(values, means2d, conics, opacities, abs_sink,
                         gid, is_null, chunk_tile, tile_nonempty,
-                        expansion_id, gauss_offset, gauss_live,
                         gauss_present, dropped,
                         height, width, tile, chunk, interpret)
     return out
@@ -585,7 +579,6 @@ def _blend_pallas_core(values, means2d, conics, opacities, abs_sink,
 
 def _blend_fwd(values, means2d, conics, opacities, abs_sink,
                gid, is_null, chunk_tile, tile_nonempty,
-               expansion_id, gauss_offset, gauss_live,
                gauss_present, dropped,
                height, width, tile, chunk, interpret):
     grid_y, grid_x = num_tiles(height, width, tile)
@@ -606,16 +599,14 @@ def _blend_fwd(values, means2d, conics, opacities, abs_sink,
     observe = jnp.zeros((C,), jnp.int32).at[gid].add(
         jnp.where(is_null, 0, obs.reshape(-1)))
 
-    res = (values, gid, is_null, chunk_tile, expansion_id, gauss_offset,
-           gauss_live, gauss_present, dropped, geom_t, vals_t, clogT, cdone,
-           fT_tiles)
+    res = (values, gid, is_null, chunk_tile, gauss_present, dropped,
+           geom_t, vals_t, clogT, cdone, fT_tiles)
     return (img, fT, observe), res
 
 
 def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
-    (values, gid, is_null, chunk_tile, expansion_id, gauss_offset,
-     gauss_live, gauss_present, dropped, geom_t, vals_t, clogT, cdone,
-     fT_tiles) = res
+    (values, gid, is_null, chunk_tile, gauss_present, dropped,
+     geom_t, vals_t, clogT, cdone, fT_tiles) = res
     g_img, g_fT, _ = cts
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
@@ -630,19 +621,13 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
 
     C = values.shape[0]
 
-    # Per-Gaussian segmented reduction WITHOUT scatters. Each Gaussian's
-    # instances occupy a CONTIGUOUS range in EXPANSION order (binning
-    # gauss_offset), so sum-per-Gaussian = prefix difference at the range
-    # boundaries once the grads are in expansion-id order. The reorder rides
-    # the 24 grad channels as `lax.sort` payloads (~53 ms at 3.1M): TPU
-    # gather cost scales with SOURCE-TABLE width, so a permutation gather
-    # from the 3.1M-wide per-instance table costs ~109 ms — twice the sort —
-    # even though the same-index gather from the 500k-wide per-GAUSSIAN
-    # table costs only 25 ms (measured; see _gather_instances).
-    # Null slots carry key I and zero grads, sorting harmlessly to the tail.
+    # Per-Gaussian segmented reduction WITHOUT scatters: sort the per-
+    # instance grads by their Gaussian id (null slots carry sentinel C and
+    # zero grads, sorting harmlessly to the tail), then prefix-difference at
+    # the per-id segment boundaries — see _segmented_reduce.
     V = dvals.shape[0]
-    acc = _segmented_reduce(dvals, dgeom, expansion_id, gauss_offset,
-                            gauss_present, dropped, chunk)
+    key = jnp.where(is_null, C, gid)
+    acc = _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk)
 
     d_values = acc[0:V].T
     d_means2d = acc[V:V + 2].T
@@ -653,7 +638,6 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     return (d_values, d_means2d, d_conics, d_opac, d_abs,
             f0(gid), f0(is_null), f0(chunk_tile), f0(jnp.zeros(T, bool)),
-            f0(expansion_id), f0(gauss_offset), f0(gauss_live),
             f0(gauss_present), f0(dropped))
 
 
@@ -753,16 +737,17 @@ def _pair_bwd(height, width, tile, chunk, interpret, observe_b, res, cts):
     dvals2 = jnp.concatenate([dparts[0][0], dparts[1][0]], axis=1)  # (V, 2I)
     dgeom2 = jnp.concatenate([dparts[0][1], dparts[1][1]], axis=1)  # (8, 2I)
 
-    # Merged expansion keys/bounds: view b's ids and offsets shift by Ia;
-    # null slots must carry the MERGED I (sort-to-tail sentinel).
-    eid2 = jnp.concatenate([
-        jnp.where(bin_a.expansion_id == Ia, Ia + Ib, bin_a.expansion_id),
-        bin_b.expansion_id + Ia])
-    off2 = jnp.concatenate([bin_a.gauss_offset, bin_b.gauss_offset + Ia])
+    # Merged Gaussian-id keys: view b's ids already ride at +C in gid2, so
+    # view a's segments (keys 0..C-1) sort before view b's (C..2C-1) and the
+    # concatenated per-view survivor counts give the segment boundaries;
+    # null slots carry the merged sentinel 2C.
+    C2 = bin_a.gauss_present.shape[0] + bin_b.gauss_present.shape[0]
+    null2 = jnp.concatenate([bin_a.is_null, bin_b.is_null])
+    key2 = jnp.where(null2, C2, gid2)
     pres2 = jnp.concatenate([bin_a.gauss_present, bin_b.gauss_present])
     dropped2 = bin_a.dropped + bin_b.dropped
 
-    acc = _segmented_reduce(dvals2, dgeom2, eid2, off2, pres2, dropped2,
+    acc = _segmented_reduce(dvals2, dgeom2, key2, pres2, dropped2,
                             chunk)                       # (V+8, 2C)
 
     d_values2 = acc[0:V].T
@@ -816,7 +801,6 @@ def blend_tiles_pallas(values, means2d, conics, opacities, binning: Binning,
     img, fT, observe = _blend_pallas_core(
         values, means2d, conics, opacities, m2d_abs_sink,
         binning.gid, binning.is_null, binning.chunk_tile,
-        binning.tile_nonempty, binning.expansion_id, binning.gauss_offset,
-        binning.gauss_live, binning.gauss_present, binning.dropped,
+        binning.tile_nonempty, binning.gauss_present, binning.dropped,
         height, width, tile, chunk, interpret)
     return BlendOut(image=img, final_T=fT, observe=observe)

@@ -15,7 +15,7 @@ Pieces (mirroring gs2m_tpu/ops/binning.py):
   presort     — C-sized Gaussian depth sort + column permute (the price a
                 depth-presorted expansion pays back)
   ranges      — T+1 searchsorted + alignment cumsums
-  scatter     — the aligned-layout scatters (gid/expansion_id) + chunk map
+  scatter     — the aligned-layout gid scatter + dst computation
   full        — bin_gaussians end-to-end
 
 Usage:
@@ -165,8 +165,7 @@ def main():
         sl = jnp.arange(I, dtype=jnp.int32)
         dst = jnp.where(live_kept, astart[t_safe] + (sl - start[t_safe]), I)
         gid = jnp.zeros((I,), jnp.int32).at[dst].set(packed_sorted, mode="drop")
-        eid = jnp.full((I,), I, jnp.int32).at[dst].set(eslot_sorted, mode="drop")
-        return gid, eid
+        return gid
     timed("scatter_gatherform_ms", scatters_gather, tile_sorted, packed_sorted,
           eslot_sorted, start, astart)
 
@@ -179,8 +178,7 @@ def main():
         sl = jnp.arange(I, dtype=jnp.int32)
         dst = jnp.where(live_kept, sl + shift_slot, I)
         gid = jnp.zeros((I,), jnp.int32).at[dst].set(packed_sorted, mode="drop")
-        eid = jnp.full((I,), I, jnp.int32).at[dst].set(eslot_sorted, mode="drop")
-        return gid, eid
+        return gid
     timed("scatter_cumsumform_ms", scatters_cumsum, tile_sorted, packed_sorted,
           eslot_sorted, start, astart)
 

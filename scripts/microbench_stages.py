@@ -102,9 +102,11 @@ def main():
 
     gather_jit = jax.jit(lambda v: _gather_instances(
         v, proj.means2d, proj.conics, opac, binned.gid, binned.is_null))
+    import jax.numpy as _jnp
+    _key = _jnp.where(binned.is_null, binned.gauss_present.shape[0],
+                      binned.gid)
     reduce_jit = jax.jit(lambda dv: _segmented_reduce(
-        dv, dgeom_i, binned.expansion_id, binned.gauss_offset,
-        binned.gauss_present, binned.dropped, chunk))
+        dv, dgeom_i, _key, binned.gauss_present, binned.dropped, chunk))
 
     res = {
         "projection_ms": timeit(proj_jit, g, lambda o: float(o.depths[0])),

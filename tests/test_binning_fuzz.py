@@ -90,7 +90,6 @@ def numpy_binning_oracle(proj, opacities, H, W, tile, I, chunk):
     src = np.clip(start[t_of] + k, 0, I - 1)
     gid = np.where(in_tile & live_sorted[src], g_sorted[src], 0)
     is_null = ~in_tile | ~live_sorted[src]
-    expansion_id = np.where(is_null, I, slot_sorted[src])
 
     chunk_starts = np.arange(I // chunk) * chunk
     chunk_tile = np.where(chunk_starts < atotal, t_of[chunk_starts], T)
@@ -102,7 +101,6 @@ def numpy_binning_oracle(proj, opacities, H, W, tile, I, chunk):
         gid=gid, is_null=is_null, chunk_tile=chunk_tile,
         tile_nonempty=tile_nonempty, num_instances=total,
         dropped=dropped_expand + dropped_align,
-        expansion_id=expansion_id,
         gauss_offset=np.clip(offsets, 0, I),
         gauss_live=np.clip(np.minimum(tt, I - offsets), 0, None),
         num_aligned=min(atotal, I),
@@ -140,8 +138,6 @@ def test_binning_matches_numpy_oracle(seed, n, cap_slack, use_opac):
                                   o["tile_nonempty"], err_msg="tile_nonempty")
     assert int(b.num_instances) == o["num_instances"]
     assert int(b.dropped) == o["dropped"]
-    np.testing.assert_array_equal(np.asarray(b.expansion_id),
-                                  o["expansion_id"], err_msg="expansion_id")
     np.testing.assert_array_equal(np.asarray(b.gauss_offset),
                                   o["gauss_offset"], err_msg="gauss_offset")
     np.testing.assert_array_equal(np.asarray(b.gauss_live), o["gauss_live"],
