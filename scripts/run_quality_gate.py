@@ -207,7 +207,11 @@ def main(argv=None):
             args.width, args.height = 800, 600
             args.views = 49
             args.points = 40_000
-            args.iterations = 30_000
+            if args.iterations == ap.get_default("iterations"):
+                # Full protocol by default; an explicit --iterations keeps
+                # the production shape but bounds the schedule (used when a
+                # round boundary can't fit the 30k run).
+                args.iterations = 30_000
 
     scene_dir = os.path.join(args.out, "scene")
     model_dir = os.path.join(args.out, "model")
@@ -263,7 +267,9 @@ def main(argv=None):
         # The reference DTU protocol (scripts/run_dtu.py:21): default
         # schedule, lambda_depth_normal 0.015, full test-iteration ladder.
         stage_flags = ["--lambda_depth_normal", "0.015"]
-        test_iters = (1000, 5000, 7000, 10000, 15000, 20000, 25000, 30000)
+        ladder = (1000, 5000, 7000, 10000, 15000, 20000, 25000, 30000)
+        test_iters = tuple(v for v in ladder if v < args.iterations) \
+            + (args.iterations,)
     else:
         stage_flags = ["--geometry_from_iter", "1000",
                        "--densify_until_iter", str(int(args.iterations * 0.8)),
