@@ -183,7 +183,7 @@ def main(argv=None):
                           f)
     _emit({
         "metric": "fwd_bwd_mpixels_per_s",
-        "value": round(res["mpixels_per_s"], 2),
+        "value": round(res["mpixels_per_s"], 4),
         "unit": "Mpixel/s",
         "vs_baseline": round(res["mpixels_per_s"] / base, 3) if base else None,
         "vs_target": round(res["mpixels_per_s"] / TARGET_MPIX_S, 3),
