@@ -547,20 +547,56 @@ def _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk):
 
     r = jax.lax.cond(dropped == 0, rank_fast, rank_exact, None)  # (C+1,)
 
-    # Two-level prefix sum (bounded prefix magnitude — a single global f32
-    # cumsum makes per-Gaussian grads the difference of two huge prefixes):
-    # block-local inclusive cumsum + exclusive cumsum of block totals. The
-    # exclusive prefix at rank r is the inclusive prefix at r-1:
-    #   S(r) = blk_excl[(r-1)//B] + loc[(r-1)//B, (r-1)%B]   (0 for r == 0).
+    # Three-level prefix decomposition with LEVELWISE differences. The naive
+    # two-level form S(r) = blk_excl[b] + loc[b, i] is catastrophically
+    # ill-conditioned at scale: blk_excl accumulates to the GLOBAL total, so
+    # the pre-addition rounds S at ULP(global) and every extracted segment
+    # sum carries an absolute error of a few ULPs of the global sum — for
+    # same-sign channels (color grads vs a constant target) that is ~1e-6 of
+    # the total per row, i.e. 1-30% relative error on typical per-Gaussian
+    # grads at 2M instances / 500k Gaussians (measured on-chip, r4: f_dc
+    # wellcond p999 0.30 vs 3e-7 with an exact reduce). Fix: express the
+    # exclusive prefix at rank r as three LEVEL-LOCAL terms
+    #   P(r) = loc2e[s] + loc1e[b] + loc0[b, i]      (b = (r-1)//B, s = b//SB)
+    # and difference each term ACROSS the segment BEFORE summing levels:
+    # a segment inside one block cancels loc2e/loc1e exactly (identical
+    # floats); one spanning blocks within a superblock cancels loc2e exactly
+    # and rounds loc1e at ULP(superblock prefix ~ global/SB); only segments
+    # spanning a superblock boundary (~nsb/C of rows) see ULP(global).
     B = chunk  # I is a multiple of chunk by construction
+    SB = 128
     nb = I // B
-    loc = jnp.cumsum(grads_exp.reshape(K, nb, B), axis=2)
-    blk = loc[:, :, -1]
-    blk_excl = jnp.cumsum(blk, axis=1) - blk             # (K, nb)
+    nbp = -(-nb // SB) * SB
+    nsb = nbp // SB
+    loc0 = jnp.cumsum(grads_exp.reshape(K, nb, B), axis=2)   # (K, nb, B)
+    blk = loc0[:, :, -1]                                      # (K, nb)
+    blkp = jnp.pad(blk, ((0, 0), (0, nbp - nb)))
+    loc1 = jnp.cumsum(blkp.reshape(K, nsb, SB), axis=2)       # within-superblock
+    loc1e = (loc1 - blkp.reshape(K, nsb, SB)).reshape(K, nbp)  # exclusive
+    sbt = loc1[:, :, -1]                                      # (K, nsb)
+    # Top level, MEAN-CENTERED: for same-sign data the raw superblock-total
+    # cumsum grows to the global sum, so segments straddling a superblock
+    # boundary would still difference two ULP(global)-rounded prefixes. The
+    # centered totals random-walk near zero (prefix ~ std * sqrt(nsb)), and
+    # the subtracted mean rides on the exact small-integer superblock count:
+    #   P2(r) = loc2e_centered[s] + mu * s,  differenced as
+    #   (c[sh] - c[sl]) + mu * (sh - sl)   — mu*ds rounds relative to the
+    # spanned content itself, never the global total.
+    mu = jnp.mean(sbt, axis=1, keepdims=True)                 # (K, 1)
+    sbc = sbt - mu
+    loc2e = jnp.cumsum(sbc, axis=1) - sbc                     # (K, nsb) excl
     rm1 = jnp.clip(r - 1, 0, I - 1)
     pos = (r > 0)[None, :]
-    S = jnp.where(pos, blk_excl[:, rm1 // B] + loc.reshape(K, I)[:, rm1], 0.0)
-    return S[:, 1:] - S[:, :-1]                          # (K, C)
+    b = rm1 // B
+    s = b // SB
+    P0 = jnp.where(pos, loc0.reshape(K, I)[:, rm1], 0.0)
+    P1 = jnp.where(pos, loc1e[:, b], 0.0)
+    P2 = jnp.where(pos, loc2e[:, s], 0.0)
+    # No pos mask needed: at r == 0, rm1 clips to 0 -> s == 0 -> mu*0 == 0.
+    ds = (s[1:] - s[:-1]).astype(per_inst.dtype)[None, :]     # (1, C) exact
+    return ((P2[:, 1:] - P2[:, :-1]) + mu * ds
+            + (P1[:, 1:] - P1[:, :-1])
+            + (P0[:, 1:] - P0[:, :-1]))                       # (K, C)
 
 
 @functools.partial(jax.custom_vjp,
