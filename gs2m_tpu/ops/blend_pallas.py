@@ -31,6 +31,7 @@ Gradient oracle: jax.grad of blend_tiles_xla (tests/test_pallas.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -547,6 +548,22 @@ def _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk):
 
     r = jax.lax.cond(dropped == 0, rank_fast, rank_exact, None)  # (C+1,)
 
+    if os.environ.get("GS2M_SEGREDUCE") == "two_level":
+        # DIAGNOSIS ONLY: the round-4 two-level scheme whose global-prefix
+        # conditioning breached the on-chip grad gate (BASELINE.md r4 rows;
+        # A/B'd against the three-level scheme below in round 5). Never set
+        # in production.
+        B2 = chunk
+        nb2 = I // B2
+        loc = jnp.cumsum(grads_exp.reshape(K, nb2, B2), axis=2)
+        blk2 = loc[:, :, -1]
+        blk_excl = jnp.cumsum(blk2, axis=1) - blk2
+        rm1 = jnp.clip(r - 1, 0, I - 1)
+        pos = (r > 0)[None, :]
+        S = jnp.where(pos, blk_excl[:, rm1 // B2] + loc.reshape(K, I)[:, rm1],
+                      0.0)
+        return S[:, 1:] - S[:, :-1]
+
     # Three-level prefix decomposition with LEVELWISE differences. The naive
     # two-level form S(r) = blk_excl[b] + loc[b, i] is catastrophically
     # ill-conditioned at scale: blk_excl accumulates to the GLOBAL total, so
@@ -589,10 +606,13 @@ def _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk):
     pos = (r > 0)[None, :]
     b = rm1 // B
     s = b // SB
+    # Only P0 needs the pos mask: loc0 is an INCLUSIVE cumsum, so at r == 0
+    # (rm1 clipped to 0) it reads the first element, not 0. loc1e/loc2e are
+    # EXCLUSIVE, so their index-0 entries are exactly 0.0 by construction,
+    # and the mu*ds term vanishes at r == 0 via s == 0.
     P0 = jnp.where(pos, loc0.reshape(K, I)[:, rm1], 0.0)
-    P1 = jnp.where(pos, loc1e[:, b], 0.0)
-    P2 = jnp.where(pos, loc2e[:, s], 0.0)
-    # No pos mask needed: at r == 0, rm1 clips to 0 -> s == 0 -> mu*0 == 0.
+    P1 = loc1e[:, b]
+    P2 = loc2e[:, s]
     ds = (s[1:] - s[:-1]).astype(per_inst.dtype)[None, :]     # (1, C) exact
     return ((P2[:, 1:] - P2[:, :-1]) + mu * ds
             + (P1[:, 1:] - P1[:, :-1])

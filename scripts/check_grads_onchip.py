@@ -22,6 +22,19 @@ row against its own magnitude with a floor that absorbs the cancellation
 noise, so a REAL derivation error (wrong math on a well-conditioned row)
 still trips the gate while reduction-order noise does not.
 
+Round-4 breach, root-caused (round-5 on-chip A/B, same criterion + loss):
+the breach was REAL — the segmented reduce's two-level prefix decomposition
+rounds every extracted segment at ULP(global sum), which at bench scale
+(500k Gaussians / 1.57M instances) puts 1-30% relative error on the
+same-sign leaves. Measured 2026-08-19, identical distributional criterion:
+  two-level  (state at commit 0deda72): f_dc p999 0.303, 49% of
+             well-conditioned rows above tol -> BREACH (reproduces the r4
+             row exactly)
+  three-level levelwise-differenced (commit c83af7a fix): worst leaf p999
+             1.2e-3 vs 5e-3 tol -> PASS, 4x margin
+The criterion change (161dbd0) predated the breach measurement and was NOT
+the fix. Re-run the A/B any time with GS2M_SEGREDUCE=two_level.
+
 Usage:
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/check_grads_onchip.py
   (also invoked by bench.py — summary fields ride the bench JSON line)
@@ -82,7 +95,8 @@ DEFAULT_TOL = 5e-3
 REL_TO_MAX_TOL = 5e-2
 
 
-def run_grad_check(n=500_000, width=1600, height=1200, chunk=128):
+def run_grad_check(n=500_000, width=1600, height=1200, chunk=128,
+                   instance_cap=2 ** 21):
     """Returns (report dict, pass bool). Must run where both backends run
     (the TPU chip; CPU works too via interpret mode, just slowly)."""
     import jax
@@ -95,12 +109,23 @@ def run_grad_check(n=500_000, width=1600, height=1200, chunk=128):
     target = jnp.zeros((3, height, width))
 
     def loss_fn(params, backend):
+        # Material-stage render (feature_count=10, the full production
+        # surface): the albedo/roughness/metallic terms make every one of
+        # the 9 parameter leaves non-vacuously gated — the r4 breach proved
+        # scale exposes what CPU mid-scale checks hide, and the material
+        # half of the backward (value rows 8:16) deserves the same at-scale
+        # proof as the geometry half (VERDICT r4 #4). Feature grads in the
+        # reference: diff-gaussian-rasterization backward.cu:582-595.
         pkg = render(g.with_params(params), cam, jnp.zeros(3),
-                     active_sh_degree=3, geometry_stage=True, backend=backend,
-                     chunk=chunk, instance_cap=2 ** 21)
+                     active_sh_degree=3, geometry_stage=True,
+                     material_stage=True, blend_metallic=True,
+                     backend=backend, chunk=chunk, instance_cap=instance_cap)
         return (jnp.mean(jnp.abs(pkg["render"] - target))
                 + 0.1 * jnp.mean(pkg["depth_map"] ** 2)
-                + 0.1 * jnp.mean(jnp.abs(pkg["normal_map"])))
+                + 0.1 * jnp.mean(jnp.abs(pkg["normal_map"]))
+                + 0.1 * jnp.mean(jnp.abs(pkg["albedo_map"] - 0.5))
+                + 0.1 * jnp.mean(pkg["roughness_map"] ** 2)
+                + 0.1 * jnp.mean(jnp.abs(pkg["metallic_map"])))
 
     params = g.params_dict()
     grads = {}

@@ -364,7 +364,28 @@ def test_segmented_reduce_conditioned_at_scale():
                                        jnp.int32(0), chunk))
     exact = vals.astype(np.float64).reshape(C, seg).sum(1)
     rel = np.abs(out[0] - exact) / np.abs(exact)
-    assert rel.max() < 1e-3, f"same-sign reduce ill-conditioned: {rel.max()}"
+    # Gate each level of the decomposition separately (r4 ADVICE): a segment
+    # is classified by the block/superblock of its two PREFIX ranks
+    # (lo = start-1, hi = end-1). Expected conditioning, at ~3x margin over
+    # the measured max for this workload (values ~1, seg=4):
+    #   inside one block:   P0 only, ULP(block prefix ~ 128)      -> ~5e-6
+    #   crossing blocks:    + loc1e, ULP(superblock prefix ~ 16k) -> ~6e-4
+    #   crossing superblks: + centered loc2e (random-walk prefix) -> ~2e-4
+    # A regression in any single level (e.g. breaking only the mean-centered
+    # top level, which just ~63 of 256k segments exercise here) now trips
+    # its own assertion instead of hiding under a global 1e-3.
+    starts = np.arange(C) * seg
+    lo, hi = np.clip(starts - 1, 0, None), starts + seg - 1
+    cross_blk = (lo // chunk) != (hi // chunk)
+    SB = chunk * 128
+    cross_sb = (lo // SB) != (hi // SB)
+    assert rel[~cross_blk].max() < 2e-5, \
+        f"inside-block rows ill-conditioned: {rel[~cross_blk].max()}"
+    assert rel[cross_blk & ~cross_sb].max() < 2e-3, \
+        f"cross-block rows ill-conditioned: {rel[cross_blk & ~cross_sb].max()}"
+    assert cross_sb.sum() > 0 and rel[cross_sb].max() < 1e-3, \
+        f"cross-superblock rows ill-conditioned: {rel[cross_sb].max()}"
+    assert rel.max() < 2e-3, f"same-sign reduce ill-conditioned: {rel.max()}"
     exact_alt = alt.astype(np.float64).reshape(C, seg).sum(1)
     scale = np.abs(exact_alt).max()
     assert np.abs(out[1] - exact_alt).max() / scale < 1e-3
