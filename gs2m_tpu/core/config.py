@@ -56,6 +56,13 @@ class PipelineConfig:
     # the real load well under the rect-expansion estimate.
     instance_cap_mult: float = 4.0
     use_pallas: bool = True             # False -> pure-XLA blend (golden-equivalent)
+    # Backward compaction (pair path): run the blend backward + segmented
+    # reduce only on non-terminated chunks (exact — terminated chunks have
+    # identically-zero grads). The Trainer sizes the static bwd cap from the
+    # measured per-step demand (pkg["bwd_live"]) with headroom and grows it
+    # on overflow like the binning cap. Early training (small splats, deep
+    # overlap) drops ~50% of backward index-space work (measured r5 probe).
+    compact_bwd: bool = True
 
 
 @dataclass

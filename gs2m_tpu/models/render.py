@@ -110,6 +110,7 @@ def render_pair(
     m2d_sink: jnp.ndarray | None = None,
     m2d_abs_sink: jnp.ndarray | None = None,
     observe_b: bool = True,
+    bwd_cap: int | None = None,
 ) -> tuple[dict, dict]:
     """Render the SAME Gaussians from two cameras through the fused pair
     rasterizer (ops/rasterize.rasterize_pair_from_projected) — the geometry
@@ -132,7 +133,8 @@ def render_pair(
         projs[0], projs[1], opac, feats[0], feats[1], bg,
         camera_a, camera_b, feature_count=feature_count, tile=tile,
         chunk=chunk, instance_cap=instance_cap,
-        m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink, observe_b=observe_b)
+        m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink, observe_b=observe_b,
+        bwd_cap=bwd_cap)
     pkg_a = derive_render_pkg(out_a, camera_a, bg, z_depth=z_depth,
                               sobel_normal=sobel_normal)
     pkg_b = derive_render_pkg(out_b, camera_b, bg, z_depth=z_depth)
@@ -182,6 +184,8 @@ def derive_render_pkg(out, camera: Camera, bg: jnp.ndarray,
         "local_normal_map": local_normal_map,
         "final_T": out.final_T,
         "dropped": out.dropped,
+        "bwd_live": (out.bwd_live if getattr(out, "bwd_live", None)
+                     is not None else jnp.int32(0)),
     }
 
     if sobel_normal:

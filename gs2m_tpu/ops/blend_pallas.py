@@ -510,7 +510,8 @@ def _retile(g_img, g_fT, grid_y, grid_x, tile):
     return jnp.concatenate([gi, pad_i], 0), jnp.concatenate([gt, pad_t], 0)
 
 
-def _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk):
+def _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk,
+                      exact_rank: bool = False):
     """Deterministic per-Gaussian sum of per-instance gradients -> (K, C).
 
     The reduce needs only GROUPING by Gaussian, and the expansion order is
@@ -546,7 +547,13 @@ def _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk):
         cnt = jnp.zeros((C,), jnp.int32).at[key].add(1, mode="drop")
         return jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
 
-    r = jax.lax.cond(dropped == 0, rank_fast, rank_exact, None)  # (C+1,)
+    # exact_rank: the compacted-backward path (chunks dropped after early
+    # termination) has per-Gaussian counts that no longer match binning's
+    # cull-survivor counts — always count the ids actually present.
+    if exact_rank:
+        r = rank_exact(None)
+    else:
+        r = jax.lax.cond(dropped == 0, rank_fast, rank_exact, None)  # (C+1,)
 
     if os.environ.get("GS2M_SEGREDUCE") == "two_level":
         # DIAGNOSIS ONLY: the round-4 two-level scheme whose global-prefix
@@ -717,19 +724,58 @@ _blend_pallas_core.defvjp(_blend_fwd, _blend_bwd)
 # arrays stack view b's Gaussian rows after view a's (2C rows), so per-view
 # gradients split back by row range via the concatenate transpose.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _compact_alive(cdone, chunk_tile, T: int):
+    """Per-chunk liveness from the forward's saved carries: a chunk is DEAD
+    when every pixel of its tile had terminated (T < 1e-4) at the chunk's
+    start — its backward outputs are exactly zero (the kernel zeroes them
+    under @pl.when all_done), so dropping it from the backward's index-space
+    pipeline (gather/sort/prefix) changes nothing. Termination is monotone
+    within a tile, so dead chunks are a SUFFIX of each tile's run and
+    compaction keeps every tile's kept chunks contiguous."""
+    dead = jnp.all(cdone[:, 0, :] > 0.0, axis=1)
+    alive = ~dead & (chunk_tile < T)
+    return alive
+
+
+def _compact_view(alive, n2: int, chunk: int, chunk_tile, clogT, cdone,
+                  geom_s, vals_s, gid_s, null_s, T: int):
+    """Select the alive chunks (original order, alive-first) into a dense
+    n2-chunk layout. Padding positions (when fewer than n2 chunks are alive)
+    carry tile T + all-null, which the kernels and the reduce both treat as
+    zero-contribution. Returns the compacted operands + the count of alive
+    chunks that did NOT fit (each a real gradient loss — the trainer grows
+    bwd_cap on it, mirroring the binning-overflow policy)."""
+    n_chunks = alive.shape[0]
+    order = jnp.argsort(~alive, stable=True)
+    perm = order[:n2]
+    n_keep = jnp.sum(alive.astype(jnp.int32))
+    pad = jnp.arange(n2, dtype=jnp.int32) >= n_keep
+    ct_c = jnp.where(pad, T, chunk_tile[perm])
+    clogT_c = clogT[perm]
+    cdone_c = cdone[perm]
+    geom_c = geom_s.reshape(8, n_chunks, chunk)[:, perm].reshape(8, -1)
+    V = vals_s.shape[0]
+    vals_c = vals_s.reshape(V, n_chunks, chunk)[:, perm].reshape(V, -1)
+    gid_c = gid_s.reshape(n_chunks, chunk)[perm].reshape(-1)
+    null_c = (null_s.reshape(n_chunks, chunk)[perm]
+              | pad[:, None]).reshape(-1)
+    lost = jnp.maximum(n_keep - n2, 0)
+    return ct_c, clogT_c, cdone_c, geom_c, vals_c, gid_c, null_c, lost
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _blend_pair_core(values2, means2d2, conics2, opacities2, abs_sink2,
                      height: int, width: int, tile: int, chunk: int,
-                     interpret: bool, observe_b: bool,
+                     interpret: bool, observe_b: bool, bwd_cap: int | None,
                      bin_a: Binning, bin_b: Binning):
     out, _ = _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
                        height, width, tile, chunk, interpret, observe_b,
-                       bin_a, bin_b)
+                       bwd_cap, bin_a, bin_b)
     return out
 
 
 def _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
-              height, width, tile, chunk, interpret, observe_b,
+              height, width, tile, chunk, interpret, observe_b, bwd_cap,
               bin_a, bin_b):
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
@@ -762,32 +808,58 @@ def _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
     else:
         observe2 = jnp.zeros((2 * C,), jnp.int32).at[bin_a.gid].add(outs[0][2])
 
+    # Backward-compaction demand signal: slots in non-terminated chunks per
+    # view (what bwd_cap must cover). The trainer sizes/adjusts bwd_cap from
+    # the window max of this, exactly like binning's `dropped` loop.
+    live_a = jnp.sum(_compact_alive(outs[0][4], bin_a.chunk_tile, T)
+                     .astype(jnp.int32)) * chunk
+    live_b = jnp.sum(_compact_alive(outs[1][4], bin_b.chunk_tile, T)
+                     .astype(jnp.int32)) * chunk
+    bwd_live = jnp.maximum(live_a, live_b)
+
     res = (geom2, vals2, gid2, outs[0][3], outs[0][4], outs[0][5],
            outs[1][3], outs[1][4], outs[1][5], bin_a, bin_b)
-    return ((outs[0][0], outs[0][1], outs[1][0], outs[1][1], observe2), res)
+    return ((outs[0][0], outs[0][1], outs[1][0], outs[1][1], observe2,
+             bwd_live), res)
 
 
-def _pair_bwd(height, width, tile, chunk, interpret, observe_b, res, cts):
+def _pair_bwd(height, width, tile, chunk, interpret, observe_b, bwd_cap,
+              res, cts):
     (geom2, vals2, gid2, clogT_a, cdone_a, fT_a,
      clogT_b, cdone_b, fT_b, bin_a, bin_b) = res
-    g_img_a, g_fT_a, g_img_b, g_fT_b, _ = cts
+    g_img_a, g_fT_a, g_img_b, g_fT_b, _, _ = cts
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
     Ia = bin_a.gid.shape[0]
     Ib = bin_b.gid.shape[0]
+    C = bin_a.gauss_present.shape[0]
+    compact = bwd_cap is not None and (bwd_cap < Ia or bwd_cap < Ib)
 
-    dparts = []
+    null2_full = jnp.concatenate([bin_a.is_null, bin_b.is_null])
+    dparts, keys = [], []
     for (b, sl, g_img, g_fT, clogT, cdone, fT) in (
             (bin_a, slice(0, Ia), g_img_a, g_fT_a, clogT_a, cdone_a, fT_a),
             (bin_b, slice(Ia, Ia + Ib), g_img_b, g_fT_b, clogT_b, cdone_b,
              fT_b)):
+        geom_s, vals_s = geom2[:, sl], vals2[:, sl]
+        ct, gid_s = b.chunk_tile, gid2[sl]
+        null_s = null2_full[sl]
+        n_view = (sl.stop - sl.start) // chunk
+        if compact:
+            alive = _compact_alive(cdone, ct, T)
+            n2 = min(bwd_cap, sl.stop - sl.start) // chunk
+            (ct, clogT, cdone, geom_s, vals_s, gid_s, null_s,
+             _lost) = _compact_view(alive, n2, chunk, ct, clogT, cdone,
+                                    geom_s, vals_s, gid_s, null_s, T)
+            n_view = n2
         g_img_tiles, g_fT_tiles = _retile(g_img, g_fT, grid_y, grid_x, tile)
         dgeom, dvals = _run_backward(
-            geom2[:, sl], vals2[:, sl], b.chunk_tile, clogT, cdone,
+            geom_s, vals_s, ct, clogT, cdone,
             g_img_tiles, g_fT_tiles, fT, T=T,
-            n_chunks=(sl.stop - sl.start) // chunk, chunk=chunk, tile=tile,
+            n_chunks=n_view, chunk=chunk, tile=tile,
             grid_x=grid_x, width=width, height=height, interpret=interpret)
         dparts.append((dvals, dgeom))
+        keys.append(jnp.where(null_s, 2 * C, gid_s))
 
     V = dparts[0][0].shape[0]
     dvals2 = jnp.concatenate([dparts[0][0], dparts[1][0]], axis=1)  # (V, 2I)
@@ -796,15 +868,14 @@ def _pair_bwd(height, width, tile, chunk, interpret, observe_b, res, cts):
     # Merged Gaussian-id keys: view b's ids already ride at +C in gid2, so
     # view a's segments (keys 0..C-1) sort before view b's (C..2C-1) and the
     # concatenated per-view survivor counts give the segment boundaries;
-    # null slots carry the merged sentinel 2C.
-    C2 = bin_a.gauss_present.shape[0] + bin_b.gauss_present.shape[0]
-    null2 = jnp.concatenate([bin_a.is_null, bin_b.is_null])
-    key2 = jnp.where(null2, C2, gid2)
+    # null slots carry the merged sentinel 2C. Under compaction the per-
+    # Gaussian counts changed, so the reduce counts the present ids itself.
+    key2 = jnp.concatenate(keys)
     pres2 = jnp.concatenate([bin_a.gauss_present, bin_b.gauss_present])
     dropped2 = bin_a.dropped + bin_b.dropped
 
     acc = _segmented_reduce(dvals2, dgeom2, key2, pres2, dropped2,
-                            chunk)                       # (V+8, 2C)
+                            chunk, exact_rank=compact)   # (V+8, 2C)
 
     d_values2 = acc[0:V].T
     d_means2d2 = acc[V:V + 2].T
@@ -826,22 +897,34 @@ def blend_tiles_pallas_pair(values2, means2d2, conics2, opacities2,
                             height: int, width: int, tile: int, chunk: int,
                             m2d_abs_sink2=None,
                             interpret: bool | None = None,
-                            observe_b: bool = True):
+                            observe_b: bool = True,
+                            bwd_cap: int | None = None):
     """Blend TWO views of the same scene in one custom_vjp (see pair-core
     notes above). Inputs are the per-view arrays stacked along rows
     (2C, ...): rows [0, C) = view a, rows [C, 2C) = view b — build them with
     jnp.concatenate so the gradient splits back automatically. Returns
-    (BlendOut_a, BlendOut_b) with per-view observe counts."""
+    (BlendOut_a, BlendOut_b, bwd_live) with per-view observe counts.
+
+    bwd_cap (multiple of chunk, or None): run the BACKWARD on a layout
+    compacted to the non-terminated chunks (exact — dropped chunks have
+    identically-zero gradients) capped at bwd_cap slots per view. bwd_live
+    reports the per-step demand; when it exceeds bwd_cap, the overflowing
+    alive chunks' gradients are LOST for this step — callers must grow
+    bwd_cap on it (Trainer does, like the binning-overflow loop)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if m2d_abs_sink2 is None:
         m2d_abs_sink2 = jnp.zeros((values2.shape[0], 2), jnp.float32)
-    img_a, fT_a, img_b, fT_b, observe2 = _blend_pair_core(
+    if bwd_cap is not None:
+        assert bwd_cap % chunk == 0 and bwd_cap > 0
+    img_a, fT_a, img_b, fT_b, observe2, bwd_live = _blend_pair_core(
         values2, means2d2, conics2, opacities2, m2d_abs_sink2,
-        height, width, tile, chunk, interpret, observe_b, bin_a, bin_b)
+        height, width, tile, chunk, interpret, observe_b, bwd_cap,
+        bin_a, bin_b)
     C = values2.shape[0] // 2
     return (BlendOut(image=img_a, final_T=fT_a, observe=observe2[:C]),
-            BlendOut(image=img_b, final_T=fT_b, observe=observe2[C:]))
+            BlendOut(image=img_b, final_T=fT_b, observe=observe2[C:]),
+            bwd_live)
 
 
 def blend_tiles_pallas(values, means2d, conics, opacities, binning: Binning,

@@ -43,6 +43,11 @@ class RasterOut(NamedTuple):
     radii: jnp.ndarray     # (C,) int32
     observe: jnp.ndarray   # (C,) int32
     dropped: jnp.ndarray   # () int32 — binning overflow diagnostic
+    # () int32 — backward-compaction demand (slots in non-terminated chunks,
+    # pair path only; None elsewhere). The Trainer sizes bwd_cap from it.
+    # (Default None, not jnp.int32(0): a module-import-time jnp constant
+    # would initialize the JAX backend before tests/apps pick a platform.)
+    bwd_live: jnp.ndarray | None = None
 
 
 def value_width(feature_count: int) -> int:
@@ -172,6 +177,7 @@ def rasterize_pair_from_projected(
     m2d_sink: jnp.ndarray | None = None,
     m2d_abs_sink: jnp.ndarray | None = None,
     observe_b: bool = True,
+    bwd_cap: int | None = None,
 ) -> tuple[RasterOut, RasterOut]:
     """Two views of the SAME Gaussians through ONE pair custom_vjp
     (ops/blend_pallas.blend_tiles_pallas_pair): shares the instance-table
@@ -203,9 +209,9 @@ def rasterize_pair_from_projected(
         abs2 = jnp.concatenate([m2d_abs_sink,
                                 jnp.zeros_like(m2d_abs_sink)])
 
-    out_a, out_b = blend_tiles_pallas_pair(
+    out_a, out_b, bwd_live = blend_tiles_pallas_pair(
         values2, means2d2, conics2, opacities2, bin_a, bin_b, H, W, tile,
-        chunk, m2d_abs_sink2=abs2, observe_b=observe_b)
+        chunk, m2d_abs_sink2=abs2, observe_b=observe_b, bwd_cap=bwd_cap)
 
     results = []
     for out, proj, b in ((out_a, proj_a, bin_a), (out_b, proj_b, bin_b)):
@@ -218,7 +224,7 @@ def rasterize_pair_from_projected(
                 [buffer, jnp.zeros((10 - buffer.shape[0], H, W), image.dtype)])
         results.append(RasterOut(color=color, buffer=buffer, final_T=final_T,
                                  radii=proj.radii, observe=out.observe,
-                                 dropped=b.dropped))
+                                 dropped=b.dropped, bwd_live=bwd_live))
     return results[0], results[1]
 
 

@@ -44,7 +44,8 @@ def _choose_neighbor(key, table_row, mask_row, self_idx):
 def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
                         opt: OptimConfig, scene: Scene, instance_cap: int,
                         geometry_stage: bool, material_stage: bool,
-                        backend: str, pbr_fns: dict | None) -> Callable:
+                        backend: str, pbr_fns: dict | None,
+                        bwd_cap: int | None = None) -> Callable:
     """The per-view staged loss (train.py:94-189) as a pure function —
     shared by the single-chip step and the shard_map data-parallel step."""
     use_alpha_loss = model_cfg.white_background or model_cfg.mask_gt
@@ -81,7 +82,7 @@ def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
                 g, cam, nearest_cam, jnp.zeros(3), active_sh_degree,
                 geometry_stage=geometry_stage, material_stage=material_stage,
                 sobel_normal=True, m2d_sink=sink, m2d_abs_sink=abs_sink,
-                observe_b=False, **pair_kw)
+                observe_b=False, bwd_cap=bwd_cap, **pair_kw)
         else:
             pkg = render(g, cam, jnp.zeros(3), active_sh_degree,
                          geometry_stage=geometry_stage,
@@ -138,6 +139,7 @@ def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
                "radii": pkg["radii"], "observe": pkg["observe"],
                "visibility": pkg["visibility_filter"],
                "dropped": dropped,
+               "bwd_live": pkg.get("bwd_live", jnp.int32(0)),
                "mv_active": (has_nearest if geometry_stage
                              else jnp.bool_(False)),
                "rough_active": rough_active}
@@ -150,7 +152,8 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
                     opt: OptimConfig, scene: Scene, instance_cap: int,
                     geometry_stage: bool, material_stage: bool,
                     backend: str | None = None,
-                    pbr_fns: dict | None = None) -> Callable:
+                    pbr_fns: dict | None = None,
+                    bwd_cap: int | None = None) -> Callable:
     """Build the jitted step for one stage."""
     backend = backend or ("pallas" if pipe.use_pallas else "xla")
     xyz_lr_fn = xyz_lr_schedule(opt, scene.cameras_extent)
@@ -158,7 +161,7 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
     W = scene.train_cameras[0].width
     objective = make_view_objective(model_cfg, pipe, opt, scene, instance_cap,
                                     geometry_stage, material_stage, backend,
-                                    pbr_fns)
+                                    pbr_fns, bwd_cap=bwd_cap)
 
     # NOTE: no donate_argnums — buffer donation through the axon remote
     # runtime produced intermittent garbage (stale reads) in round-1 testing.
@@ -198,6 +201,7 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
         gaussians = gaussians.with_params(new_params)
         metrics = {"loss": loss, "Lrgb": aux["Lrgb"], "Lgeo": aux["Lgeo"],
                    "Lmat": aux["Lmat"], "dropped": aux["dropped"],
+                   "bwd_live": aux["bwd_live"],
                    "mv_active": aux["mv_active"].astype(jnp.int32),
                    "rough_active": aux["rough_active"].astype(jnp.int32)}
         return gaussians, opt_state, stats, light_grad, metrics
@@ -303,6 +307,15 @@ class Trainer:
         # check — a lazy jnp.maximum per step (no host sync), so a drop burst
         # anywhere in the window triggers growth, not just on the 100th iter.
         self._dropped_window = jnp.int32(0)
+        # Backward compaction: static per-view slot cap for the pair blend's
+        # backward (None = exact/uncompacted). Probed from the first step's
+        # measured demand, then adjusted at 100-iter boundaries from the
+        # window max of pkg["bwd_live"] with 25% headroom. Overflow between
+        # boundaries loses the overflowing chunks' (weakest, near-
+        # termination) gradients for <= 100 iters and is grown at the next
+        # boundary — same policy family as the binning-overflow loop.
+        self.bwd_cap: int | None = None
+        self._bwd_live_window = jnp.int32(0)
         # Device-side loss-activity counters (lazy adds, read at logging
         # boundaries): steps where the multi-view / roughness terms fired.
         self.mv_active_count = jnp.int32(0)
@@ -334,8 +347,26 @@ class Trainer:
         return (iteration > self.opt.geometry_from_iter,
                 iteration > self.material_from_iter)
 
+    def _effective_bwd_cap(self) -> int | None:
+        """The static backward-compaction cap for the next compile, or None
+        when compaction is off / not yet probed / wouldn't shrink anything.
+        DP steps skip it (make_dp_train_step has no plumbing; per-device
+        demand would need a psum'd window — future work)."""
+        if (not getattr(self.pipe, "compact_bwd", False)
+                or self.backend != "pallas" or self.mesh is not None
+                or self.bwd_cap is None or self.bwd_cap >= self.instance_cap):
+            return None
+        return self.bwd_cap
+
+    def _round_bwd_cap(self, want: int) -> int:
+        gran = 2 ** 17 if self.instance_cap >= 2 ** 20 else 64 * self.pipe.chunk
+        c = self.pipe.chunk
+        want = -(-want // c) * c
+        return int(min(max(-(-want // gran) * gran, 4 * c), self.instance_cap))
+
     def _get_step(self, geometry_stage: bool, material_stage: bool) -> Callable:
-        key = (geometry_stage, material_stage, self.gaussians.capacity)
+        key = (geometry_stage, material_stage, self.gaussians.capacity,
+               self._effective_bwd_cap())
         if key not in self._steps:
             if self.mesh is not None:
                 from gs2m_tpu.parallel.dp import make_dp_train_step
@@ -347,7 +378,8 @@ class Trainer:
                 self._steps[key] = make_train_step(
                     self.model_cfg, self.pipe, self.opt, self.scene,
                     self.instance_cap, geometry_stage, material_stage,
-                    self.backend, self.pbr_fns)
+                    self.backend, self.pbr_fns,
+                    bwd_cap=self._effective_bwd_cap())
         return self._steps[key]
 
     def _next_view(self) -> int:
@@ -445,14 +477,39 @@ class Trainer:
         # window max catches drop bursts BETWEEN the boundary checks too.
         self._dropped_window = jnp.maximum(self._dropped_window,
                                            metrics["dropped"])
+        self._bwd_live_window = jnp.maximum(self._bwd_live_window,
+                                            metrics.get("bwd_live",
+                                                        jnp.int32(0)))
         self.mv_active_count = self.mv_active_count + metrics["mv_active"]
         self.rough_active_count = (self.rough_active_count
                                    + metrics["rough_active"])
+        compact_on = (getattr(self.pipe, "compact_bwd", False)
+                      and self.backend == "pallas" and self.mesh is None
+                      and geometry_stage)
+        if compact_on and self.bwd_cap is None:
+            # Probe-init after the very first compacting-eligible step: one
+            # extra compile, then the hot loop runs compacted.
+            live = int(metrics["bwd_live"])
+            if live > 0:
+                self.bwd_cap = self._round_bwd_cap(int(live * 1.25))
+                self._bwd_live_window = jnp.int32(0)
         if it % 100 == 0:
             dw = int(self._dropped_window)
             if dw > 0:
                 self._grow_instance_cap(dropped=dw)
             self._dropped_window = jnp.int32(0)
+            if compact_on and self.bwd_cap is not None:
+                live = int(self._bwd_live_window)
+                want = self._round_bwd_cap(int(live * 1.25))
+                if live > self.bwd_cap:
+                    print(f"[trainer] bwd compaction overflow: demand {live} "
+                          f"> cap {self.bwd_cap} -> {want} (overflowing "
+                          f"chunks' grads were dropped this window)",
+                          flush=True)
+                    self.bwd_cap = want
+                elif want < self.bwd_cap * 3 // 4:
+                    self.bwd_cap = want
+                self._bwd_live_window = jnp.int32(0)
 
         self._maintenance(it)
         return metrics

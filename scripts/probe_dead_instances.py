@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def probe(preset: str, n=300_000, width=800, height=600, views=3, chunk=128,
-          cap=2 ** 22):
+          cap=2 ** 22, opacity=None):
     import dataclasses
 
     import jax
@@ -48,6 +48,12 @@ def probe(preset: str, n=300_000, width=800, height=600, views=3, chunk=128,
     if preset == "steady":
         sc = jnp.full_like(g.scaling, float(np.log(0.02)))
         g = dataclasses.replace(g, scaling=sc)
+    if opacity is not None:
+        # Converged scenes are mostly OPAQUE (the bench presets keep the
+        # create_from_pcd 0.1 init, which makes termination ~9x deeper than
+        # a trained model) — probe both regimes before sizing the lever.
+        inv = float(np.log(opacity / (1.0 - opacity)))
+        g = dataclasses.replace(g, opacity=jnp.full_like(g.opacity, inv))
 
     tile = pipe.tile
     grid_y, grid_x = num_tiles(height, width, tile)
@@ -100,12 +106,16 @@ def main():
     ap.add_argument("--cap", type=int, default=2 ** 22)
     ap.add_argument("--width", type=int, default=800)
     ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--opacity", type=float, default=None,
+                    help="force a uniform opacity (e.g. 0.9 ~ converged)")
     args = ap.parse_args()
     for preset in ("steady", "early"):
-        print(json.dumps(probe(preset, n=args.gaussians, views=args.views,
-                                chunk=args.chunk, cap=args.cap,
-                                width=args.width, height=args.height)),
-              flush=True)
+        out = probe(preset, n=args.gaussians, views=args.views,
+                    chunk=args.chunk, cap=args.cap,
+                    width=args.width, height=args.height,
+                    opacity=args.opacity)
+        out["opacity"] = args.opacity
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -389,3 +389,81 @@ def test_segmented_reduce_conditioned_at_scale():
     exact_alt = alt.astype(np.float64).reshape(C, seg).sum(1)
     scale = np.abs(exact_alt).max()
     assert np.abs(out[1] - exact_alt).max() / scale < 1e-3
+
+
+def test_pair_backward_compaction_exact():
+    """bwd_cap compaction must not change gradients when the cap covers the
+    live (non-terminated) chunks: dropped chunks have identically-zero
+    grads, so the compacted backward differs only by reduce reassociation.
+    Heavy-occlusion scene so termination actually kills chunks."""
+    import dataclasses
+
+    from gs2m_tpu.core.gaussians import Gaussians
+    from gs2m_tpu.ops.blend_pallas import (_compact_alive,
+                                           blend_tiles_pallas_pair)
+    from gs2m_tpu.ops.binning import num_tiles
+
+    n, chunk = 192, 64
+    rng = np.random.default_rng(13)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.12
+    pts[:, 2] = np.linspace(-0.6, 0.6, n)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    g = Gaussians.create(pts, cols, 0, capacity=n,
+                         mean_sq_dist=np.full(n, 0.08))
+    h = w = 32
+    cam = make_camera(width=w, height=h)
+    proj = project(g, cam, 0)
+    opa = jnp.minimum(g.get_opacity[:, 0] * 9.9, 0.995)
+    feats = build_features(g, cam)
+    values = pack_values(proj.colors, feats, 5)
+    binning = bin_gaussians(proj, h, w, 16, instance_cap=2 ** 12, chunk=chunk,
+                            opacities=opa)
+    assert int(binning.dropped) == 0
+
+    def loss(values2, m2, c2, o2, bwd_cap):
+        a, b, live = blend_tiles_pallas_pair(
+            values2, m2, c2, o2, binning, binning, h, w, 16, chunk,
+            interpret=True, bwd_cap=bwd_cap)
+        return (jnp.sum(a.image ** 2) + 0.3 * jnp.sum(b.image)
+                + jnp.sum(a.final_T) + 0.5 * jnp.sum(b.final_T ** 2)), live
+
+    v2 = jnp.concatenate([values, values * 0.7])
+    m2 = jnp.concatenate([proj.means2d, proj.means2d])
+    c2 = jnp.concatenate([proj.conics, proj.conics])
+    o2 = jnp.concatenate([opa, opa])
+
+    (l0, live), g0 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                        has_aux=True)(v2, m2, c2, o2, None)
+    live = int(live)
+    I = binning.gid.shape[0]
+    assert 0 < live < I, f"scene must terminate some chunks (live={live}/{I})"
+
+    # Exact-fit cap (covers all live chunks): grads match the uncompacted
+    # path to reduce-reassociation tolerance.
+    cap = -(-live // chunk) * chunk
+    (l1, _), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                     has_aux=True)(v2, m2, c2, o2, cap)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(g1, g0):
+        scale = np.abs(np.asarray(b)).max() + 1e-12
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6 * scale, rtol=1e-5)
+
+    # Oversized cap (padding positions in play): still exact.
+    (l2, _), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                     has_aux=True)(v2, m2, c2, o2,
+                                                   min(cap + 2 * chunk, I))
+    for a, b in zip(g2, g0):
+        scale = np.abs(np.asarray(b)).max() + 1e-12
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6 * scale, rtol=1e-5)
+
+    # Undersized cap: loses the overflowing chunks' grads — must stay finite
+    # and the forward (incl. live report) must be unchanged.
+    (l3, live3), g3 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                         has_aux=True)(
+        v2, m2, c2, o2, max(chunk, cap - 2 * chunk))
+    assert int(live3) == live
+    np.testing.assert_allclose(float(l3), float(l0), rtol=1e-6)
+    for a in g3:
+        assert np.isfinite(np.asarray(a)).all()

@@ -257,3 +257,43 @@ def test_evaluate_views_grows_cap_on_overflow():
     assert tr.grow_calls >= 1, "overflow did not trigger cap growth"
     assert tr.instance_cap > 128
     assert np.isfinite(res["psnr"])
+
+
+def test_ref_patches_matches_bilinear_paths():
+    """_ref_patches' integer-tap fast path (shifted-stack gather) must match
+    the bilinear sample_pixels formulation it replaces — at ncc_scale 1.0
+    AND at the -r2 protocol's 0.5 (gray at 2x resolution), including taps
+    clamped at every border. Tolerance 1e-5: the bilinear path normalizes
+    pixel coords to [-1, 1] and back (x/(W-1) then *(W-1)), which is not
+    exact in f32 at non-power-of-two sizes, so IT carries ~1e-6 lerp noise
+    at integer taps; the fast path reads the exact pixel."""
+    import jax.numpy as jnp
+
+    from gs2m_tpu.models.losses import (_patch_offsets, _ref_patches)
+    from gs2m_tpu.ops.grid_sample import sample_pixels
+
+    rng = np.random.default_rng(7)
+    half = 3
+    for ncc_scale, H, W in ((1.0, 24, 36), (0.5, 48, 72)):
+        gray = jnp.asarray(rng.uniform(0, 1, (1, H, W)).astype(np.float32))
+        # Base pixels at the TRAIN resolution (W*scale x H*scale), covering
+        # all four corners so border clamping is exercised.
+        Wt, Ht = int(W * ncc_scale), int(H * ncc_scale)
+        xs = np.array([0, 1, Wt - 1, Wt // 2, 0, Wt - 1], np.float32)
+        ys = np.array([0, Ht - 1, 0, Ht // 2, Ht - 1, Ht - 1], np.float32)
+        extra = np.stack([rng.integers(0, Wt, 50), rng.integers(0, Ht, 50)],
+                         -1).astype(np.float32)
+        pix = jnp.asarray(np.concatenate(
+            [np.stack([xs, ys], -1), extra], 0))
+        offsets = _patch_offsets(half)
+        want = sample_pixels(gray, pix[:, None, :] / ncc_scale
+                             + offsets[None, :, :])[..., 0]
+        got = _ref_patches(gray, pix, half, ncc_scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=0,
+                                   err_msg=f"scale {ncc_scale}")
+    # Non-integer 1/scale falls back to the bilinear path (same values).
+    got = _ref_patches(gray, pix, half, 0.75)
+    want = sample_pixels(gray, pix[:, None, :] / 0.75
+                         + offsets[None, :, :])[..., 0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
