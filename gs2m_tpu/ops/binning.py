@@ -53,10 +53,12 @@ def num_tiles(height: int, width: int, tile: int) -> tuple[int, int]:
     return (height + tile - 1) // tile, (width + tile - 1) // tile
 
 
-@partial(jax.jit, static_argnames=("height", "width", "tile", "instance_cap", "chunk"))
+@partial(jax.jit, static_argnames=("height", "width", "tile", "instance_cap",
+                                   "chunk", "with_present"))
 def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
                   instance_cap: int, chunk: int,
-                  opacities: jnp.ndarray | None = None) -> Binning:
+                  opacities: jnp.ndarray | None = None,
+                  with_present: bool = True) -> Binning:
     """Build the chunk-aligned instance layout from projected Gaussians.
 
     When `opacities` is given, instances are CULLED by a conservative
@@ -148,12 +150,18 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
 
     # Per-Gaussian surviving-instance counts: `keep` is in EXPANSION order,
     # where each Gaussian's slots are contiguous — a cumsum + boundary
-    # differences, no scatter.
-    kcs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                           jnp.cumsum(keep.astype(jnp.int32))])
-    seg_lo = jnp.clip(offsets, 0, I)
-    seg_hi = jnp.clip(offsets + tt, 0, I)
-    gauss_present = kcs[seg_hi] - kcs[seg_lo]
+    # differences, no scatter. Only the SINGLE-view blend backward's
+    # fast segment-rank path consumes this (10.9 ms/view measured, r5
+    # microbench_binning `present`); the pair path and the observe pass
+    # count present ids at reduce time instead (with_present=False).
+    if with_present:
+        kcs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(keep.astype(jnp.int32))])
+        seg_lo = jnp.clip(offsets, 0, I)
+        seg_hi = jnp.clip(offsets + tt, 0, I)
+        gauss_present = kcs[seg_hi] - kcs[seg_lo]
+    else:
+        gauss_present = jnp.zeros((C,), jnp.int32)
 
     # --- lexicographic sort by (tile, depth) with the Gaussian id payload ----
     # Dead/culled rows carry tile T + depth inf, sort to the tail, and never
