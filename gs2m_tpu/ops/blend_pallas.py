@@ -874,10 +874,12 @@ def _pair_bwd(height, width, tile, chunk, interpret, observe_b, bwd_cap,
     pres2 = jnp.concatenate([bin_a.gauss_present, bin_b.gauss_present])
     dropped2 = bin_a.dropped + bin_b.dropped
 
-    # exact_rank always: pair binnings skip the survivor-count piece
-    # (with_present=False), and compaction changes the counts regardless.
+    # exact_rank only under compaction: counting present ids is an I2-update
+    # scatter (measured 17 ms / 2M updates — laws r5), so the uncompacted
+    # path keeps binning's survivor counts (rank_fast); the pair binnings
+    # are built with_present = (bwd_cap is None) to match.
     acc = _segmented_reduce(dvals2, dgeom2, key2, pres2, dropped2,
-                            chunk, exact_rank=True)      # (V+8, 2C)
+                            chunk, exact_rank=compact)   # (V+8, 2C)
 
     d_values2 = acc[0:V].T
     d_means2d2 = acc[V:V + 2].T

@@ -198,13 +198,15 @@ def rasterize_pair_from_projected(
     if m2d_sink is not None:
         means2d_a = means2d_a + m2d_sink
 
-    # with_present=False: the pair backward counts present ids at reduce
-    # time (exact_rank — compaction invalidates binning's counts anyway),
-    # so skip binning's 10.9 ms/view survivor-count piece.
+    # Compacting pair backward counts present ids at reduce time
+    # (exact_rank), so its binnings skip the 10.9 ms/view survivor-count
+    # piece; the uncompacted path keeps it (an exact_rank scatter at full I
+    # costs MORE than the piece — 17 ms / 2M updates, laws r5).
+    wp = bwd_cap is None
     bin_a = bin_gaussians(proj_a, H, W, tile, instance_cap, chunk,
-                          opacities=opacities, with_present=False)
+                          opacities=opacities, with_present=wp)
     bin_b = bin_gaussians(proj_b, H, W, tile, instance_cap, chunk,
-                          opacities=opacities, with_present=False)
+                          opacities=opacities, with_present=wp)
     values2 = jnp.concatenate([
         pack_values(proj_a.colors, features_a, feature_count),
         pack_values(proj_b.colors, features_b, feature_count)])
