@@ -24,7 +24,7 @@ import numpy as np
 
 
 def build_scene(n_views, width, height, n_points, seed=0,
-                point_scale=None):
+                point_scale=None, term_cut=False):
     import jax.numpy as jnp
 
     from gs2m_tpu.core.config import ModelConfig, OptimConfig, PipelineConfig
@@ -58,7 +58,8 @@ def build_scene(n_views, width, height, n_points, seed=0,
                       nearby_cam_max_angle=179.0, nearby_cam_max_dist=100.0)
     # Fixed-population bench (no densification inside the window): a lean
     # instance multiplier — overflow growth would resize it automatically.
-    pipe = PipelineConfig(chunk=128, use_pallas=True, instance_cap_mult=2.0)
+    pipe = PipelineConfig(chunk=128, use_pallas=True, instance_cap_mult=2.0,
+                          term_cut=term_cut)
     scene = Scene(mc, resolution_scale=1.0, shuffle=False, load_images=False,
                   scene_info=info)
     scene.gt_images = jnp.asarray(
@@ -77,17 +78,31 @@ def build_trainer(args):
     from gs2m_tpu.train.trainer import Trainer
 
     mc, pipe, opt, scene = build_scene(args.views, args.width, args.height,
-                                       args.gaussians)
+                                       args.gaussians,
+                                       term_cut=getattr(args, "term_cut",
+                                                        False))
     cap = 1 << max(int(np.ceil(np.log2(args.gaussians * 1.2))), 10)
     trainer = Trainer(mc, pipe, opt, scene, capacity=cap,
                       backend=args.backend)
-    if args.preset == "steady":
+    if args.preset in ("steady", "opaque"):
         # Converged-size splats: log-scale of ~1.5x the mean inter-point
         # spacing of this cloud density.
         import dataclasses
         import jax.numpy as jnp
         sc = jnp.full_like(trainer.gaussians.scaling, float(np.log(0.02)))
         trainer.gaussians = dataclasses.replace(trainer.gaussians, scaling=sc)
+    if args.preset == "opaque":
+        # Converged-OPACITY splats: create_from_pcd inits opacity at 0.1,
+        # which makes termination ~9x deeper than a trained model (84.6% of
+        # aligned slots are post-termination at opacity 0.9 — r5 probe).
+        # This preset is the honest converged-regime operating point for the
+        # termination-cut/compaction levers.
+        import dataclasses
+        import jax.numpy as jnp
+        inv = float(np.log(0.9 / 0.1))
+        trainer.gaussians = dataclasses.replace(
+            trainer.gaussians,
+            opacity=jnp.full_like(trainer.gaussians.opacity, inv))
 
     # Presize the instance buffer from a measured probe (knn-initialized
     # clouds at this density need ~3M instances/view at 800x600; relying on
@@ -97,18 +112,26 @@ def build_trainer(args):
     from gs2m_tpu.ops.binning import bin_gaussians
     from gs2m_tpu.ops.projection import project
     g0 = trainer.gaussians
-    worst = 0
+    worst = worst_exp = 0
+    tc = bool(getattr(trainer, "_term_cut", False))
     for cam in scene.train_cameras:  # compiled once, fast per-view evals
         proj = project(g0, cam, mc.sh_degree,
                        opacities=g0.get_opacity[:, 0])
         probe = bin_gaussians(proj, args.height, args.width, pipe.tile,
                               2 ** 22, pipe.chunk,
-                              opacities=g0.get_opacity[:, 0])
-        worst = max(worst, int(probe.num_aligned) + int(probe.dropped))
+                              opacities=g0.get_opacity[:, 0],
+                              term_cut=tc, with_present=not tc)
+        worst = max(worst, int(probe.num_aligned) + int(probe.dropped)
+                    - int(probe.dropped_expand))
+        worst_exp = max(worst_exp, int(probe.num_instances))
     want = int(worst * 1.1)
     trainer.instance_cap = max(-(-want // 2 ** 17) * 2 ** 17, 2 ** 17)
-    print(f"# worst-view aligned {worst} -> instance_cap "
-          f"{trainer.instance_cap}", flush=True)
+    if tc:
+        trainer.expand_cap = max(-(-int(worst_exp * 1.1) // 2 ** 17) * 2 ** 17,
+                                 trainer.instance_cap)
+    print(f"# worst-view aligned {worst} (expand {worst_exp}) -> "
+          f"instance_cap {trainer.instance_cap} expand_cap "
+          f"{trainer.expand_cap}", flush=True)
     # Skip straight into the geometry stage at full SH.
     trainer.active_sh_degree = mc.sh_degree
 
@@ -136,11 +159,16 @@ def main(argv=None):
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--backend", default="pallas")
-    ap.add_argument("--preset", default="steady", choices=["steady", "early"],
+    ap.add_argument("--preset", default="steady",
+                    choices=["steady", "early", "opaque"],
                     help="steady: converged-size splats (~3 instances/"
                          "Gaussian, the 30k-run steady state); early: "
                          "knn-initialized splats (~10 instances/Gaussian, "
-                         "the heavy post-SfM phase)")
+                         "the heavy post-SfM phase); opaque: steady + "
+                         "converged opacity 0.9 (the real late-training "
+                         "regime; exercises the termination-cut lever)")
+    ap.add_argument("--term_cut", action="store_true",
+                    help="enable the binning termination cut (pipe.term_cut)")
     ap.add_argument("--device", default=None,
                     help="force a JAX platform in-process (env JAX_PLATFORMS "
                          "is clobbered by the axon plugin in this image)")

@@ -63,6 +63,15 @@ class PipelineConfig:
     # on overflow like the binning cap. Early training (small splats, deep
     # overlap) drops ~50% of backward index-space work (measured r5 probe).
     compact_bwd: bool = True
+    # Binning-time guaranteed-termination cut (ops/binning.bin_gaussians
+    # term_cut): 4x4-block conservative alpha bounds cut each tile's depth
+    # tail where every pixel's T < 1e-4 is guaranteed — output- and
+    # gradient-exact, captures ~83%% of the exactly-dead slots on opaque
+    # scenes. Shrinks the ALIGNED demand the instance cap covers, so the
+    # Trainer splits the caps (expand_cap for the pre-cut side) and SHRINKS
+    # instance_cap from the measured aligned demand. Off by default until
+    # the on-chip A/B lands (see BASELINE round-5 rows).
+    term_cut: bool = False
 
 
 @dataclass

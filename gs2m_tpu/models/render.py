@@ -80,6 +80,8 @@ def count_observed(
     tile: int = 16,
     chunk: int = 256,
     instance_cap: int = 2 ** 18,
+    term_cut: bool = False,
+    expand_cap: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-Gaussian observe counts for THIS view + binning overflow scalar —
     what the multi-view trim consumes (train.py:236-245), at a fraction of
@@ -90,7 +92,8 @@ def count_observed(
     proj = project(gaussians, camera, 0, tile=tile, opacities=opac,
                    with_colors=False)
     return observe_from_projected(proj, opac, camera, tile=tile, chunk=chunk,
-                                  instance_cap=instance_cap, backend=backend)
+                                  instance_cap=instance_cap, backend=backend,
+                                  term_cut=term_cut, expand_cap=expand_cap)
 
 
 def render_pair(
@@ -111,6 +114,8 @@ def render_pair(
     m2d_abs_sink: jnp.ndarray | None = None,
     observe_b: bool = True,
     bwd_cap: int | None = None,
+    term_cut: bool = False,
+    expand_cap: int | None = None,
 ) -> tuple[dict, dict]:
     """Render the SAME Gaussians from two cameras through the fused pair
     rasterizer (ops/rasterize.rasterize_pair_from_projected) — the geometry
@@ -134,7 +139,7 @@ def render_pair(
         camera_a, camera_b, feature_count=feature_count, tile=tile,
         chunk=chunk, instance_cap=instance_cap,
         m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink, observe_b=observe_b,
-        bwd_cap=bwd_cap)
+        bwd_cap=bwd_cap, term_cut=term_cut, expand_cap=expand_cap)
     pkg_a = derive_render_pkg(out_a, camera_a, bg, z_depth=z_depth,
                               sobel_normal=sobel_normal)
     pkg_b = derive_render_pkg(out_b, camera_b, bg, z_depth=z_depth)
@@ -186,6 +191,12 @@ def derive_render_pkg(out, camera: Camera, bg: jnp.ndarray,
         "dropped": out.dropped,
         "bwd_live": (out.bwd_live if getattr(out, "bwd_live", None)
                      is not None else jnp.int32(0)),
+        "dropped_expand": (out.dropped_expand
+                           if getattr(out, "dropped_expand", None)
+                           is not None else jnp.int32(0)),
+        "aligned_demand": (out.aligned_demand
+                           if getattr(out, "aligned_demand", None)
+                           is not None else jnp.int32(0)),
     }
 
     if sobel_normal:

@@ -763,20 +763,22 @@ def _compact_view(alive, n2: int, chunk: int, chunk_tile, clogT, cdone,
     return ct_c, clogT_c, cdone_c, geom_c, vals_c, gid_c, null_c, lost
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def _blend_pair_core(values2, means2d2, conics2, opacities2, abs_sink2,
                      height: int, width: int, tile: int, chunk: int,
                      interpret: bool, observe_b: bool, bwd_cap: int | None,
+                     exact_rank: bool,
                      bin_a: Binning, bin_b: Binning):
     out, _ = _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
                        height, width, tile, chunk, interpret, observe_b,
-                       bwd_cap, bin_a, bin_b)
+                       bwd_cap, exact_rank, bin_a, bin_b)
     return out
 
 
 def _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
               height, width, tile, chunk, interpret, observe_b, bwd_cap,
-              bin_a, bin_b):
+              exact_rank, bin_a, bin_b):
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
     C = values2.shape[0] // 2
@@ -824,7 +826,7 @@ def _pair_fwd(values2, means2d2, conics2, opacities2, abs_sink2,
 
 
 def _pair_bwd(height, width, tile, chunk, interpret, observe_b, bwd_cap,
-              res, cts):
+              exact_rank, res, cts):
     (geom2, vals2, gid2, clogT_a, cdone_a, fT_a,
      clogT_b, cdone_b, fT_b, bin_a, bin_b) = res
     g_img_a, g_fT_a, g_img_b, g_fT_b, _, _ = cts
@@ -874,12 +876,12 @@ def _pair_bwd(height, width, tile, chunk, interpret, observe_b, bwd_cap,
     pres2 = jnp.concatenate([bin_a.gauss_present, bin_b.gauss_present])
     dropped2 = bin_a.dropped + bin_b.dropped
 
-    # exact_rank only under compaction: counting present ids is an I2-update
-    # scatter (measured 17 ms / 2M updates — laws r5), so the uncompacted
-    # path keeps binning's survivor counts (rank_fast); the pair binnings
-    # are built with_present = (bwd_cap is None) to match.
+    # exact_rank under compaction OR term_cut (both change the per-Gaussian
+    # aligned counts): counting present ids is an I2-update scatter (17 ms /
+    # 2M updates — laws r5), so the plain path keeps binning's survivor
+    # counts (rank_fast); the pair binnings skip with_present to match.
     acc = _segmented_reduce(dvals2, dgeom2, key2, pres2, dropped2,
-                            chunk, exact_rank=compact)   # (V+8, 2C)
+                            chunk, exact_rank=exact_rank or compact)
 
     d_values2 = acc[0:V].T
     d_means2d2 = acc[V:V + 2].T
@@ -902,7 +904,8 @@ def blend_tiles_pallas_pair(values2, means2d2, conics2, opacities2,
                             m2d_abs_sink2=None,
                             interpret: bool | None = None,
                             observe_b: bool = True,
-                            bwd_cap: int | None = None):
+                            bwd_cap: int | None = None,
+                            exact_rank: bool = False):
     """Blend TWO views of the same scene in one custom_vjp (see pair-core
     notes above). Inputs are the per-view arrays stacked along rows
     (2C, ...): rows [0, C) = view a, rows [C, 2C) = view b — build them with
@@ -924,7 +927,7 @@ def blend_tiles_pallas_pair(values2, means2d2, conics2, opacities2,
     img_a, fT_a, img_b, fT_b, observe2, bwd_live = _blend_pair_core(
         values2, means2d2, conics2, opacities2, m2d_abs_sink2,
         height, width, tile, chunk, interpret, observe_b, bwd_cap,
-        bin_a, bin_b)
+        exact_rank, bin_a, bin_b)
     C = values2.shape[0] // 2
     return (BlendOut(image=img_a, final_T=fT_a, observe=observe2[:C]),
             BlendOut(image=img_b, final_T=fT_b, observe=observe2[C:]),

@@ -48,6 +48,10 @@ class RasterOut(NamedTuple):
     # (Default None, not jnp.int32(0): a module-import-time jnp constant
     # would initialize the JAX backend before tests/apps pick a platform.)
     bwd_live: jnp.ndarray | None = None
+    # term_cut cap-management signals (pair path): the expansion-cap part of
+    # `dropped`, and the aligned-slot demand the instance cap must cover.
+    dropped_expand: jnp.ndarray | None = None
+    aligned_demand: jnp.ndarray | None = None
 
 
 def value_width(feature_count: int) -> int:
@@ -141,6 +145,8 @@ def observe_from_projected(
     chunk: int = 128,
     instance_cap: int = 2 ** 17,
     backend: str = "pallas",
+    term_cut: bool = False,
+    expand_cap: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-Gaussian observe counts (C,) int32 + binning `dropped` scalar,
     WITHOUT blending any values — the multi-view trim (train.py:236-245)
@@ -154,7 +160,9 @@ def observe_from_projected(
     # unused too, but its forward reads gauss_present's shape only).
     binning = bin_gaussians(proj, H, W, tile, instance_cap, chunk,
                             opacities=opacities,
-                            with_present=(backend != "pallas"))
+                            with_present=(backend != "pallas"),
+                            term_cut=term_cut and backend == "pallas",
+                            expand_cap=expand_cap)
     if backend == "pallas":
         from gs2m_tpu.ops.blend_pallas import observe_tiles_pallas
         observe = observe_tiles_pallas(proj.means2d, proj.conics, opacities,
@@ -182,6 +190,8 @@ def rasterize_pair_from_projected(
     m2d_abs_sink: jnp.ndarray | None = None,
     observe_b: bool = True,
     bwd_cap: int | None = None,
+    term_cut: bool = False,
+    expand_cap: int | None = None,
 ) -> tuple[RasterOut, RasterOut]:
     """Two views of the SAME Gaussians through ONE pair custom_vjp
     (ops/blend_pallas.blend_tiles_pallas_pair): shares the instance-table
@@ -198,15 +208,16 @@ def rasterize_pair_from_projected(
     if m2d_sink is not None:
         means2d_a = means2d_a + m2d_sink
 
-    # Compacting pair backward counts present ids at reduce time
-    # (exact_rank), so its binnings skip the 10.9 ms/view survivor-count
-    # piece; the uncompacted path keeps it (an exact_rank scatter at full I
-    # costs MORE than the piece — 17 ms / 2M updates, laws r5).
-    wp = bwd_cap is None
-    bin_a = bin_gaussians(proj_a, H, W, tile, instance_cap, chunk,
-                          opacities=opacities, with_present=wp)
-    bin_b = bin_gaussians(proj_b, H, W, tile, instance_cap, chunk,
-                          opacities=opacities, with_present=wp)
+    # Compacting/term-cut pair backwards count present ids at reduce time
+    # (exact_rank: compaction and the termination cut both change the
+    # per-Gaussian aligned counts), so their binnings skip the 10.9 ms/view
+    # survivor-count piece; the plain path keeps it (an exact_rank scatter
+    # at full I costs MORE than the piece — 17 ms / 2M updates, laws r5).
+    exact_rank = bwd_cap is not None or term_cut
+    bkw = dict(opacities=opacities, with_present=not exact_rank,
+               term_cut=term_cut, expand_cap=expand_cap)
+    bin_a = bin_gaussians(proj_a, H, W, tile, instance_cap, chunk, **bkw)
+    bin_b = bin_gaussians(proj_b, H, W, tile, instance_cap, chunk, **bkw)
     values2 = jnp.concatenate([
         pack_values(proj_a.colors, features_a, feature_count),
         pack_values(proj_b.colors, features_b, feature_count)])
@@ -220,7 +231,8 @@ def rasterize_pair_from_projected(
 
     out_a, out_b, bwd_live = blend_tiles_pallas_pair(
         values2, means2d2, conics2, opacities2, bin_a, bin_b, H, W, tile,
-        chunk, m2d_abs_sink2=abs2, observe_b=observe_b, bwd_cap=bwd_cap)
+        chunk, m2d_abs_sink2=abs2, observe_b=observe_b, bwd_cap=bwd_cap,
+        exact_rank=exact_rank)
 
     results = []
     for out, proj, b in ((out_a, proj_a, bin_a), (out_b, proj_b, bin_b)):
@@ -233,7 +245,9 @@ def rasterize_pair_from_projected(
                 [buffer, jnp.zeros((10 - buffer.shape[0], H, W), image.dtype)])
         results.append(RasterOut(color=color, buffer=buffer, final_T=final_T,
                                  radii=proj.radii, observe=out.observe,
-                                 dropped=b.dropped, bwd_live=bwd_live))
+                                 dropped=b.dropped, bwd_live=bwd_live,
+                                 dropped_expand=b.dropped_expand,
+                                 aligned_demand=b.num_aligned))
     return results[0], results[1]
 
 

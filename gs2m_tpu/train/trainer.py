@@ -45,7 +45,9 @@ def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
                         opt: OptimConfig, scene: Scene, instance_cap: int,
                         geometry_stage: bool, material_stage: bool,
                         backend: str, pbr_fns: dict | None,
-                        bwd_cap: int | None = None) -> Callable:
+                        bwd_cap: int | None = None,
+                        term_cut: bool = False,
+                        expand_cap: int | None = None) -> Callable:
     """The per-view staged loss (train.py:94-189) as a pure function —
     shared by the single-chip step and the shard_map data-parallel step."""
     use_alpha_loss = model_cfg.white_background or model_cfg.mask_gt
@@ -82,7 +84,8 @@ def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
                 g, cam, nearest_cam, jnp.zeros(3), active_sh_degree,
                 geometry_stage=geometry_stage, material_stage=material_stage,
                 sobel_normal=True, m2d_sink=sink, m2d_abs_sink=abs_sink,
-                observe_b=False, bwd_cap=bwd_cap, **pair_kw)
+                observe_b=False, bwd_cap=bwd_cap, term_cut=term_cut,
+                expand_cap=expand_cap, **pair_kw)
         else:
             pkg = render(g, cam, jnp.zeros(3), active_sh_degree,
                          geometry_stage=geometry_stage,
@@ -133,13 +136,21 @@ def make_view_objective(model_cfg: ModelConfig, pipe: PipelineConfig,
         # side by the Trainer, written to train_log.jsonl by the app.
         # Neighbor-render overflow must trigger buffer growth too.
         dropped = pkg["dropped"]
+        dropped_expand = pkg.get("dropped_expand", jnp.int32(0))
+        aligned_demand = pkg.get("aligned_demand", jnp.int32(0))
         if npkg is not None:
             dropped = jnp.maximum(dropped, npkg["dropped"])
+            dropped_expand = jnp.maximum(
+                dropped_expand, npkg.get("dropped_expand", jnp.int32(0)))
+            aligned_demand = jnp.maximum(
+                aligned_demand, npkg.get("aligned_demand", jnp.int32(0)))
         aux = {"Lrgb": Lrgb, "Lgeo": Lgeo, "Lmat": Lmat,
                "radii": pkg["radii"], "observe": pkg["observe"],
                "visibility": pkg["visibility_filter"],
                "dropped": dropped,
                "bwd_live": pkg.get("bwd_live", jnp.int32(0)),
+               "dropped_expand": dropped_expand,
+               "aligned_demand": aligned_demand,
                "mv_active": (has_nearest if geometry_stage
                              else jnp.bool_(False)),
                "rough_active": rough_active}
@@ -153,7 +164,9 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
                     geometry_stage: bool, material_stage: bool,
                     backend: str | None = None,
                     pbr_fns: dict | None = None,
-                    bwd_cap: int | None = None) -> Callable:
+                    bwd_cap: int | None = None,
+                    term_cut: bool = False,
+                    expand_cap: int | None = None) -> Callable:
     """Build the jitted step for one stage."""
     backend = backend or ("pallas" if pipe.use_pallas else "xla")
     xyz_lr_fn = xyz_lr_schedule(opt, scene.cameras_extent)
@@ -161,7 +174,8 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
     W = scene.train_cameras[0].width
     objective = make_view_objective(model_cfg, pipe, opt, scene, instance_cap,
                                     geometry_stage, material_stage, backend,
-                                    pbr_fns, bwd_cap=bwd_cap)
+                                    pbr_fns, bwd_cap=bwd_cap,
+                                    term_cut=term_cut, expand_cap=expand_cap)
 
     # NOTE: no donate_argnums — buffer donation through the axon remote
     # runtime produced intermittent garbage (stale reads) in round-1 testing.
@@ -202,6 +216,8 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
         metrics = {"loss": loss, "Lrgb": aux["Lrgb"], "Lgeo": aux["Lgeo"],
                    "Lmat": aux["Lmat"], "dropped": aux["dropped"],
                    "bwd_live": aux["bwd_live"],
+                   "dropped_expand": aux["dropped_expand"],
+                   "aligned_demand": aux["aligned_demand"],
                    "mv_active": aux["mv_active"].astype(jnp.int32),
                    "rough_active": aux["rough_active"].astype(jnp.int32)}
         return gaussians, opt_state, stats, light_grad, metrics
@@ -210,7 +226,9 @@ def make_train_step(model_cfg: ModelConfig, pipe: PipelineConfig,
 
 
 def make_observe_counter(scene: Scene, pipe: PipelineConfig, instance_cap: int,
-                         backend: str | None = None) -> Callable:
+                         backend: str | None = None,
+                         term_cut: bool = False,
+                         expand_cap: int | None = None) -> Callable:
     """Count, per Gaussian, in how many train views it is observed
     (train.py:236-245: observe > 0 per view, trim when seen in < 2 views).
     Also returns the max binning overflow across views — counts are only
@@ -224,7 +242,8 @@ def make_observe_counter(scene: Scene, pipe: PipelineConfig, instance_cap: int,
     camera_stack = scene.camera_stack
     V = len(scene.train_cameras)
     obs_kw = dict(backend=backend, tile=pipe.tile, chunk=pipe.chunk,
-                  instance_cap=instance_cap)
+                  instance_cap=instance_cap, term_cut=term_cut,
+                  expand_cap=expand_cap)
 
     @jax.jit
     def count(gaussians: Gaussians, active_sh_degree: int):
@@ -316,6 +335,17 @@ class Trainer:
         # boundary — same policy family as the binning-overflow loop.
         self.bwd_cap: int | None = None
         self._bwd_live_window = jnp.int32(0)
+        # Termination cut (pipe.term_cut): split caps — expand_cap covers
+        # the pre-cut expansion/sort side, instance_cap only the post-cut
+        # aligned layout every downstream op runs at. The trainer grows each
+        # on its own overflow signal and SHRINKS instance_cap toward the
+        # measured aligned demand (1.3x headroom) at 100-iter boundaries.
+        self._term_cut = (getattr(pipe, "term_cut", False)
+                          and self.backend == "pallas" and mesh is None)
+        self.expand_cap: int | None = (self.instance_cap if self._term_cut
+                                       else None)
+        self._aligned_window = jnp.int32(0)
+        self._expand_drop_window = jnp.int32(0)
         # Device-side loss-activity counters (lazy adds, read at logging
         # boundaries): steps where the multi-view / roughness terms fired.
         self.mv_active_count = jnp.int32(0)
@@ -366,7 +396,7 @@ class Trainer:
 
     def _get_step(self, geometry_stage: bool, material_stage: bool) -> Callable:
         key = (geometry_stage, material_stage, self.gaussians.capacity,
-               self._effective_bwd_cap())
+               self._effective_bwd_cap(), self.instance_cap, self.expand_cap)
         if key not in self._steps:
             if self.mesh is not None:
                 from gs2m_tpu.parallel.dp import make_dp_train_step
@@ -379,7 +409,8 @@ class Trainer:
                     self.model_cfg, self.pipe, self.opt, self.scene,
                     self.instance_cap, geometry_stage, material_stage,
                     self.backend, self.pbr_fns,
-                    bwd_cap=self._effective_bwd_cap())
+                    bwd_cap=self._effective_bwd_cap(),
+                    term_cut=self._term_cut, expand_cap=self.expand_cap)
         return self._steps[key]
 
     def _next_view(self) -> int:
@@ -480,6 +511,13 @@ class Trainer:
         self._bwd_live_window = jnp.maximum(self._bwd_live_window,
                                             metrics.get("bwd_live",
                                                         jnp.int32(0)))
+        if self._term_cut:
+            self._aligned_window = jnp.maximum(
+                self._aligned_window, metrics.get("aligned_demand",
+                                                  jnp.int32(0)))
+            self._expand_drop_window = jnp.maximum(
+                self._expand_drop_window, metrics.get("dropped_expand",
+                                                      jnp.int32(0)))
         self.mv_active_count = self.mv_active_count + metrics["mv_active"]
         self.rough_active_count = (self.rough_active_count
                                    + metrics["rough_active"])
@@ -495,7 +533,31 @@ class Trainer:
                 self._bwd_live_window = jnp.int32(0)
         if it % 100 == 0:
             dw = int(self._dropped_window)
-            if dw > 0:
+            if self._term_cut:
+                de = int(self._expand_drop_window)
+                if de > 0:
+                    # Expansion-side overflow: grow the pre-cut cap.
+                    want = int((self.expand_cap + de) * 1.15)
+                    self.expand_cap = min(-(-want // 2 ** 17) * 2 ** 17,
+                                          self.MAX_INSTANCE_CAP)
+                    self._steps.clear()
+                    self._observe_counter = None
+                da = max(dw - de, 0)
+                if da > 0:
+                    self._grow_instance_cap(dropped=da)
+                else:
+                    # Shrink the aligned cap toward measured demand: every
+                    # downstream sort/gather/kernel cost is linear in it.
+                    aw = int(self._aligned_window)
+                    if aw > 0:
+                        want = self._round_bwd_cap(int(aw * 1.3))
+                        if want < self.instance_cap * 3 // 4:
+                            self.instance_cap = max(want, 4 * self.pipe.chunk)
+                            self._steps.clear()
+                            self._observe_counter = None
+                self._expand_drop_window = jnp.int32(0)
+                self._aligned_window = jnp.int32(0)
+            elif dw > 0:
                 self._grow_instance_cap(dropped=dw)
             self._dropped_window = jnp.int32(0)
             if compact_on and self.bwd_cap is not None:
@@ -537,7 +599,8 @@ class Trainer:
             t0 = _time.perf_counter()
             if self._observe_counter is None:
                 self._observe_counter = make_observe_counter(
-                    self.scene, self.pipe, self.instance_cap, self.backend)
+                    self.scene, self.pipe, self.instance_cap, self.backend,
+                    term_cut=self._term_cut, expand_cap=self.expand_cap)
             counts, drop = self._observe_counter(self.gaussians,
                                                  self.active_sh_degree)
             drop = int(drop)  # also the scalar readback that syncs the scan
@@ -656,6 +719,7 @@ class Trainer:
             "active_sh_degree": self.active_sh_degree,
             "capacity": self.gaussians.capacity,
             "instance_cap": self.instance_cap,
+            "expand_cap": self.expand_cap,
             "gaussians": jax.tree.map(np.asarray, self.gaussians),
             "opt_state": jax.tree.map(np.asarray, self.opt_state),
             "stats": jax.tree.map(np.asarray, self.stats),
@@ -689,6 +753,12 @@ class Trainer:
         # to the freshly-constructed instance cap (re-grown on demand).
         if "instance_cap" in state:
             self.instance_cap = int(state["instance_cap"])
+        # expand_cap saved from r5 on; older checkpoints re-init it to the
+        # (possibly shrunken) instance cap and re-grow on demand.
+        if state.get("expand_cap") is not None and self._term_cut:
+            self.expand_cap = int(state["expand_cap"])
+        elif self._term_cut:
+            self.expand_cap = max(self.expand_cap or 0, self.instance_cap)
         # Additive v2 fields; absent in older checkpoints -> start at 0.
         self.mv_active_count = jnp.int32(state.get("mv_active_count", 0))
         self.rough_active_count = jnp.int32(state.get("rough_active_count", 0))

@@ -467,3 +467,89 @@ def test_pair_backward_compaction_exact():
     np.testing.assert_allclose(float(l3), float(l0), rtol=1e-6)
     for a in g3:
         assert np.isfinite(np.asarray(a)).all()
+
+
+def test_pair_term_cut_exact():
+    """The binning termination cut (4x4-block guaranteed-termination bounds)
+    must leave the pair render's outputs AND gradients unchanged while
+    actually cutting instances on a dense opaque scene — the aligned layout
+    can then live under a SMALLER static cap than the expansion side."""
+    import dataclasses
+
+    from gs2m_tpu.core.camera import Camera
+    from gs2m_tpu.core.gaussians import Gaussians
+    from gs2m_tpu.models.render import render_pair
+    from gs2m_tpu.ops.binning import bin_gaussians
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    pts = np.stack([rng.uniform(-1.2, 1.2, n), rng.uniform(-0.9, 0.9, n),
+                    rng.uniform(-0.6, 0.6, n)], -1).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    g = Gaussians.create(pts, cols, 2, capacity=4096)
+    g = dataclasses.replace(
+        g, opacity=jnp.full_like(g.opacity, float(np.log(0.9 / 0.1))),
+        scaling=jnp.full_like(g.scaling, float(np.log(0.25))))
+    h, w = 48, 64
+    cam_a = make_camera(width=w, height=h)
+    th = 0.3
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    cam_b = Camera.create(R, np.array([0.2, 0.0, 4.0]), fovx=0.9, fovy=0.7,
+                          width=w, height=h)
+
+    # The cut must actually fire on this scene.
+    from gs2m_tpu.ops.projection import project
+    opac = g.get_opacity[:, 0]
+    proj = project(g, cam_a, 2, opacities=opac)
+    b0 = bin_gaussians(proj, h, w, 16, 2 ** 15, 64, opacities=opac)
+    assert int(b0.dropped) == 0
+    b1 = bin_gaussians(proj, h, w, 16, 2 ** 15, 64, opacities=opac,
+                       term_cut=True, with_present=False)
+    assert int(b1.num_aligned) < int(b0.num_aligned) * 0.8, (
+        int(b0.num_aligned), int(b1.num_aligned))
+    assert int(b1.num_aligned) <= 2 ** 14  # the term_cut cap below
+
+    def loss_of(term_cut):
+        kw = dict(tile=16, chunk=64,
+                  instance_cap=2 ** 14 if term_cut else 2 ** 15,
+                  term_cut=term_cut,
+                  expand_cap=2 ** 15 if term_cut else None)
+
+        def f(params, sink, abs_sink):
+            g2 = g.with_params(params)
+            pkg, npkg = render_pair(g2, cam_a, cam_b, jnp.zeros(3), 2,
+                                    geometry_stage=True, sobel_normal=True,
+                                    m2d_sink=sink, m2d_abs_sink=abs_sink,
+                                    **kw)
+            loss = (jnp.sum(pkg["render"] ** 2)
+                    + jnp.sum(pkg["depth_map"] ** 2)
+                    + 0.3 * jnp.sum(npkg["normal_map"] ** 2)
+                    + 0.7 * jnp.sum(npkg["depth_map"]))
+            return loss, (pkg, npkg)
+        return f
+
+    sink = jnp.zeros((g.capacity, 2))
+    abs_sink = jnp.zeros((g.capacity, 2))
+    params = g.params_dict()
+    (l0, (p0, n0)), g0 = jax.value_and_grad(
+        loss_of(False), argnums=(0, 1, 2), has_aux=True)(params, sink, abs_sink)
+    (l1, (p1, n1)), g1 = jax.value_and_grad(
+        loss_of(True), argnums=(0, 1, 2), has_aux=True)(params, sink, abs_sink)
+
+    assert int(p1["dropped"]) == 0 and int(n1["dropped"]) == 0
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b, tag in ((p0, p1, "main"), (n0, n1, "nbr")):
+        for key in ("render", "depth_map", "normal_map", "alpha_map",
+                    "final_T"):
+            np.testing.assert_allclose(np.asarray(b[key]), np.asarray(a[key]),
+                                       atol=1e-6, rtol=1e-5,
+                                       err_msg=f"{tag}:{key}")
+        np.testing.assert_array_equal(np.asarray(b["observe"]),
+                                      np.asarray(a["observe"]), tag)
+    for a, b in zip(g1, g0):
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        for x, y in zip(la, lb):
+            scale = np.abs(np.asarray(y)).max() + 1e-12
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=5e-6 * scale, rtol=1e-5)
