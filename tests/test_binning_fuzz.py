@@ -145,3 +145,78 @@ def test_binning_matches_numpy_oracle(seed, n, cap_slack, use_opac):
     assert int(b.num_aligned) == o["num_aligned"]
     np.testing.assert_array_equal(np.asarray(b.gauss_present),
                                   o["gauss_present"], err_msg="gauss_present")
+
+
+@pytest.mark.parametrize("seed,n,opaque,cap_slack", [
+    (10, 120, True, 8.0),    # dense opaque: the cut fires
+    (11, 120, False, 8.0),   # translucent: cut mostly idle
+    (12, 160, True, 1.0),    # tight aligned cap: alignment overflow + cut
+    (13, 60, True, 8.0),     # sparse
+])
+def test_term_cut_is_prefix_of_base_layout(seed, n, opaque, cap_slack):
+    """term_cut's contract, fuzzed: each tile's aligned segment must be a
+    PREFIX of the base (uncut) layout's segment — same gids, same order —
+    and the blended output must be exactly the base output (the cut only
+    removes guaranteed-zero-contribution instances). Checked without
+    re-deriving the conservative bound (its exp/log1p quantization is not
+    bit-mirrorable across backends); the prefix property + output equality
+    IS the spec."""
+    import dataclasses
+
+    from gs2m_tpu.ops.blend_xla import blend_tiles_xla
+    from gs2m_tpu.ops.rasterize import build_features, pack_values
+
+    rng = np.random.default_rng(seed)
+    H, W, tile, chunk = 72, 56, 16, 32
+    cam = make_camera(width=W, height=H)
+    g = make_scene(rng, n=n, capacity=max(n, 64), random_pose=True)
+    if opaque:
+        # Big overlapping opaque splats: deep per-block occlusion so the
+        # conservative bound actually crosses.
+        g = dataclasses.replace(
+            g, opacity=jnp.full_like(g.opacity, float(np.log(9.0))),
+            scaling=jnp.full_like(g.scaling, float(np.log(0.55))))
+    opac = jnp.minimum(g.get_opacity[:, 0], 0.99)
+    proj = project(g, cam, g.max_sh_degree, opacities=opac)
+
+    T0 = num_tiles(H, W, tile)[0] * num_tiles(H, W, tile)[1]
+    demand = int(np.asarray(proj.tiles_touched).sum())
+    IE = max(int(-(-demand // chunk)) * chunk + chunk, 2 * chunk)
+    IB = IE + T0 * chunk  # + alignment floor so the base never drops
+    I = max(int(-(-int(demand * cap_slack) // chunk)) * chunk, 2 * chunk)
+    base = bin_gaussians(proj, H, W, tile, IB, chunk, opacities=opac)
+    cut = bin_gaussians(proj, H, W, tile, I, chunk, opacities=opac,
+                        term_cut=True, expand_cap=IE, with_present=False)
+    assert int(base.dropped) == 0  # IB sized to fit everything uncut
+
+    # Per-tile prefix property over the aligned layouts.
+    T = num_tiles(H, W, tile)[0] * num_tiles(H, W, tile)[1]
+    bgid, bnull = np.asarray(base.gid), np.asarray(base.is_null)
+    cgid, cnull = np.asarray(cut.gid), np.asarray(cut.is_null)
+    bct = np.repeat(np.asarray(base.chunk_tile), chunk)
+    cct = np.repeat(np.asarray(cut.chunk_tile), chunk)
+    clipped = int(cut.dropped) > 0
+    for t in range(T):
+        bseg = bgid[(bct == t) & ~bnull]
+        cseg = cgid[(cct == t) & ~cnull]
+        assert len(cseg) <= len(bseg), t
+        if not clipped:
+            np.testing.assert_array_equal(cseg, bseg[:len(cseg)],
+                                          err_msg=f"tile {t}")
+
+    if not clipped:
+        feats = build_features(g, cam)
+        vals = pack_values(proj.colors, feats, 5)
+        o0 = blend_tiles_xla(vals, proj.means2d, proj.conics, opac, base,
+                             H, W, tile, chunk)
+        o1 = blend_tiles_xla(vals, proj.means2d, proj.conics, opac, cut,
+                             H, W, tile, chunk)
+        np.testing.assert_array_equal(np.asarray(o1.image),
+                                      np.asarray(o0.image))
+        np.testing.assert_array_equal(np.asarray(o1.final_T),
+                                      np.asarray(o0.final_T))
+        np.testing.assert_array_equal(np.asarray(o1.observe),
+                                      np.asarray(o0.observe))
+        if opaque and n >= 120:
+            assert int(cut.num_aligned) < int(base.num_aligned), \
+                "cut never fired on the dense opaque scene"
