@@ -56,6 +56,8 @@ def render(
     instance_cap: int = 2 ** 18,
     m2d_sink: jnp.ndarray | None = None,
     m2d_abs_sink: jnp.ndarray | None = None,
+    term_cut: bool = False,
+    expand_cap: int | None = None,
 ) -> dict:
     H, W = camera.height, camera.width
     feature_count = feature_count_for(geometry_stage, material_stage, blend_metallic)
@@ -68,7 +70,8 @@ def render(
         proj, gaussians.get_opacity[:, 0], features, bg, camera,
         feature_count=feature_count, tile=tile, chunk=chunk,
         instance_cap=instance_cap, backend=backend,
-        m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink)
+        m2d_sink=m2d_sink, m2d_abs_sink=m2d_abs_sink,
+        term_cut=term_cut, expand_cap=expand_cap)
     return derive_render_pkg(out, camera, bg, z_depth=z_depth,
                              sobel_normal=sobel_normal)
 

@@ -627,23 +627,23 @@ def _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(11, 12, 13, 14, 15))
+                   nondiff_argnums=(11, 12, 13, 14, 15, 16))
 def _blend_pallas_core(values, means2d, conics, opacities, abs_sink,
                        gid, is_null, chunk_tile, tile_nonempty,
                        gauss_present, dropped,
                        height: int, width: int, tile: int, chunk: int,
-                       interpret: bool):
+                       interpret: bool, exact_rank: bool = False):
     out, _ = _blend_fwd(values, means2d, conics, opacities, abs_sink,
                         gid, is_null, chunk_tile, tile_nonempty,
                         gauss_present, dropped,
-                        height, width, tile, chunk, interpret)
+                        height, width, tile, chunk, interpret, exact_rank)
     return out
 
 
 def _blend_fwd(values, means2d, conics, opacities, abs_sink,
                gid, is_null, chunk_tile, tile_nonempty,
                gauss_present, dropped,
-               height, width, tile, chunk, interpret):
+               height, width, tile, chunk, interpret, exact_rank=False):
     grid_y, grid_x = num_tiles(height, width, tile)
     T = grid_y * grid_x
     I = gid.shape[0]
@@ -667,7 +667,7 @@ def _blend_fwd(values, means2d, conics, opacities, abs_sink,
     return (img, fT, observe), res
 
 
-def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
+def _blend_bwd(height, width, tile, chunk, interpret, exact_rank, res, cts):
     (values, gid, is_null, chunk_tile, gauss_present, dropped,
      geom_t, vals_t, clogT, cdone, fT_tiles) = res
     g_img, g_fT, _ = cts
@@ -690,7 +690,8 @@ def _blend_bwd(height, width, tile, chunk, interpret, res, cts):
     # the per-id segment boundaries — see _segmented_reduce.
     V = dvals.shape[0]
     key = jnp.where(is_null, C, gid)
-    acc = _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk)
+    acc = _segmented_reduce(dvals, dgeom, key, gauss_present, dropped, chunk,
+                            exact_rank=exact_rank)
 
     d_values = acc[0:V].T
     d_means2d = acc[V:V + 2].T
@@ -936,10 +937,13 @@ def blend_tiles_pallas_pair(values2, means2d2, conics2, opacities2,
 
 def blend_tiles_pallas(values, means2d, conics, opacities, binning: Binning,
                        height: int, width: int, tile: int, chunk: int,
-                       m2d_abs_sink=None, interpret: bool | None = None):
+                       m2d_abs_sink=None, interpret: bool | None = None,
+                       exact_rank: bool = False):
     """Drop-in replacement for blend_tiles_xla (same outputs, Pallas kernels).
     `m2d_abs_sink` is a (C, 2) zero tensor whose gradient receives the
-    absolute screen-gradient accumulation for AbsGS densification."""
+    absolute screen-gradient accumulation for AbsGS densification.
+    exact_rank: required for term_cut binnings (their per-Gaussian aligned
+    counts no longer match gauss_present)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if m2d_abs_sink is None:
@@ -948,5 +952,5 @@ def blend_tiles_pallas(values, means2d, conics, opacities, binning: Binning,
         values, means2d, conics, opacities, m2d_abs_sink,
         binning.gid, binning.is_null, binning.chunk_tile,
         binning.tile_nonempty, binning.gauss_present, binning.dropped,
-        height, width, tile, chunk, interpret)
+        height, width, tile, chunk, interpret, exact_rank)
     return BlendOut(image=img, final_T=fT, observe=observe)

@@ -89,6 +89,8 @@ def rasterize_from_projected(
     backend: str = "xla",
     m2d_sink: jnp.ndarray | None = None,
     m2d_abs_sink: jnp.ndarray | None = None,
+    term_cut: bool = False,
+    expand_cap: int | None = None,
 ) -> RasterOut:
     H, W = camera.height, camera.width
     C = proj.means2d.shape[0]
@@ -107,8 +109,12 @@ def rasterize_from_projected(
                          radii=proj.radii, observe=out.observe,
                          dropped=jnp.int32(0))
 
+    # term_cut changes the per-Gaussian aligned counts, so the pallas
+    # backward must count present ids itself (exact_rank); the XLA twin
+    # differentiates through the layout directly and never uses the counts.
     binning = bin_gaussians(proj, H, W, tile, instance_cap, chunk,
-                            opacities=opacities)
+                            opacities=opacities, term_cut=term_cut,
+                            with_present=not term_cut, expand_cap=expand_cap)
     values = pack_values(proj.colors, features, feature_count)
 
     if backend == "xla":
@@ -119,7 +125,7 @@ def rasterize_from_projected(
         from gs2m_tpu.ops.blend_pallas import blend_tiles_pallas
         image, final_T, observe = blend_tiles_pallas(
             values, means2d, proj.conics, opacities, binning, H, W, tile, chunk,
-            m2d_abs_sink=m2d_abs_sink)
+            m2d_abs_sink=m2d_abs_sink, exact_rank=term_cut)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 

@@ -553,3 +553,46 @@ def test_pair_term_cut_exact():
             scale = np.abs(np.asarray(y)).max() + 1e-12
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=5e-6 * scale, rtol=1e-5)
+
+
+def test_single_render_term_cut_exact():
+    """Single-path term_cut (rasterize_from_projected term_cut=True) must be
+    gradient-exact too: its backward switches to exact_rank because binning's
+    gauss_present no longer matches the cut layout."""
+    import dataclasses
+
+    from gs2m_tpu.core.gaussians import Gaussians
+    from gs2m_tpu.models.render import render
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    pts = np.stack([rng.uniform(-1.2, 1.2, n), rng.uniform(-0.9, 0.9, n),
+                    rng.uniform(-0.6, 0.6, n)], -1).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    g = Gaussians.create(pts, cols, 2, capacity=2048)
+    g = dataclasses.replace(
+        g, opacity=jnp.full_like(g.opacity, float(np.log(0.9 / 0.1))),
+        scaling=jnp.full_like(g.scaling, float(np.log(0.25))))
+    h, w = 48, 64
+    cam = make_camera(width=w, height=h)
+
+    def loss_of(term_cut):
+        def f(params):
+            pkg = render(g.with_params(params), cam, jnp.zeros(3), 2,
+                         geometry_stage=True, backend="pallas", chunk=64,
+                         instance_cap=2 ** 14,
+                         term_cut=term_cut,
+                         expand_cap=2 ** 14 if term_cut else None)
+            return (jnp.sum(pkg["render"] ** 2)
+                    + jnp.sum(pkg["depth_map"] ** 2)), pkg
+        return f
+
+    params = g.params_dict()
+    (l0, p0), g0 = jax.value_and_grad(loss_of(False), has_aux=True)(params)
+    (l1, p1), g1 = jax.value_and_grad(loss_of(True), has_aux=True)(params)
+    assert int(p1["dropped"]) == 0
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for k in g0:
+        scale = np.abs(np.asarray(g0[k])).max() + 1e-12
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   atol=5e-6 * scale, rtol=1e-5, err_msg=k)
