@@ -63,8 +63,50 @@ def latest_checkpoint(model_dir: str):
     return best, best_it
 
 
+def _run_train_watchdogged(cmd, model_dir: str, stall_s: int = 1800) -> int:
+    """Run the train child, killing it (exact PID) if it stops making
+    observable progress (train_log.jsonl mtime / newest checkpoint) for
+    stall_s. Observed r5: a tunnel RPC wedged the material gate for 35+
+    minutes after an iteration-7000 eval+checkpoint — without a watchdog a
+    hang eats the whole campaign budget, because the crash-retry loop only
+    reacts to exits. stall_s=1800 sits above the longest legitimate silent
+    phase seen (first remote compiles / hung-compile recoveries ~25 min).
+    Returns the child's rc, or 117 on a watchdog kill."""
+    import subprocess
+
+    log = os.path.join(model_dir, "train_log.jsonl")
+    full = [sys.executable, "-u", os.path.join(REPO, "scripts",
+                                               "tpu_retry.py"), "--", *cmd]
+    print("[run]", " ".join(cmd), flush=True)
+    p = subprocess.Popen(full, cwd=REPO)
+    last_sig, last_t = None, time.time()
+    try:
+        while True:
+            try:
+                return p.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                pass
+            sig = (os.path.getmtime(log) if os.path.exists(log) else None,
+                   latest_checkpoint(model_dir)[1])
+            if sig != last_sig:
+                last_sig, last_t = sig, time.time()
+            elif time.time() - last_t > stall_s:
+                print(f"[watchdog] no train progress in {stall_s}s — "
+                      f"killing wedged child {p.pid}", flush=True)
+                p.kill()
+                p.wait()
+                return 117
+    except BaseException:
+        # Campaign timeout (SIGINT) or anything else: never orphan a child
+        # that holds the TPU claim.
+        p.kill()
+        p.wait()
+        raise
+
+
 def run_train_resumable(train_cmd, model_dir: str, max_attempts: int = 5):
-    """Drive apps.train, auto-resuming from the newest checkpoint on crash.
+    """Drive apps.train, auto-resuming from the newest checkpoint on crash
+    OR on a progress-watchdog kill (_run_train_watchdogged).
 
     A 30k-iteration production run takes hours through the axon tunnel; a
     mid-run tunnel drop must cost at most one checkpoint interval, not the
@@ -81,7 +123,7 @@ def run_train_resumable(train_cmd, model_dir: str, max_attempts: int = 5):
         if ckpt is not None:
             cmd += ["--start_checkpoint", ckpt]
             print(f"[resume] attempt {attempt + 1}: from {ckpt}", flush=True)
-        rc = run(cmd, check=False)
+        rc = _run_train_watchdogged(cmd, model_dir)
         if rc == 0:
             return
         new_it = latest_checkpoint(model_dir)[1]
