@@ -712,6 +712,22 @@ class Trainer:
     # rejects loudly instead of resuming from silently-misread state.
     CHECKPOINT_VERSION = 2
 
+    @staticmethod
+    def _fetch_numpy(x, max_bytes: int = 32 * 2 ** 20):
+        """Device -> host in bounded slices. A whole-array fetch of a large
+        leaf through the axon HTTP tunnel has wedged indefinitely (r5: the
+        material gate froze on an iteration-7000 checkpoint, ~767 MB of
+        state at capacity 2^20); per-slice fetches keep every transfer
+        small and give the runtime a chance to fail fast instead."""
+        if not hasattr(x, "shape") or x.ndim == 0 or x.size == 0:
+            return np.asarray(x)
+        row_bytes = max(int(np.prod(x.shape[1:])) * x.dtype.itemsize, 1)
+        step = max(max_bytes // row_bytes, 1)
+        if step >= x.shape[0]:
+            return np.asarray(x)
+        return np.concatenate([np.asarray(x[i:i + step])
+                               for i in range(0, x.shape[0], step)], axis=0)
+
     def save_checkpoint(self, path: str):
         state = {
             "version": self.CHECKPOINT_VERSION,
@@ -720,9 +736,9 @@ class Trainer:
             "capacity": self.gaussians.capacity,
             "instance_cap": self.instance_cap,
             "expand_cap": self.expand_cap,
-            "gaussians": jax.tree.map(np.asarray, self.gaussians),
-            "opt_state": jax.tree.map(np.asarray, self.opt_state),
-            "stats": jax.tree.map(np.asarray, self.stats),
+            "gaussians": jax.tree.map(self._fetch_numpy, self.gaussians),
+            "opt_state": jax.tree.map(self._fetch_numpy, self.opt_state),
+            "stats": jax.tree.map(self._fetch_numpy, self.stats),
             "light_state": np.asarray(self.light_state),
             "light_opt_state": jax.tree.map(np.asarray, self.light_opt_state),
             # Loss-activity diagnostics survive resume so the quality gates'

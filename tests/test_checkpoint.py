@@ -99,14 +99,16 @@ def test_gate_resume_policy(tmp_path, monkeypatch):
     # Fake runner: fails twice (progress, then no progress twice -> raise).
     calls = []
 
-    def fake_run(cmd, check=True, **kw):
+    def fake_run(cmd, model_dir, **kw):
         calls.append(list(cmd))
         if len(calls) == 1:  # crash, but a new checkpoint appeared
             (ckdir / "ckp26000.pkl").write_bytes(b"x")
             return 1
         return 1  # crash with no progress
 
-    monkeypatch.setattr(qg, "run", fake_run)
+    # The resume loop now drives the child through the progress watchdog
+    # (_run_train_watchdogged) — patch that seam.
+    monkeypatch.setattr(qg, "_run_train_watchdogged", fake_run)
     monkeypatch.setattr(qg.time, "sleep", lambda s: None)
     try:
         qg.run_train_resumable(["train"], str(model), max_attempts=9)
@@ -122,10 +124,25 @@ def test_gate_resume_policy(tmp_path, monkeypatch):
     # Success path: first call returns 0, no retries.
     calls.clear()
 
-    def ok_run(cmd, check=True, **kw):
+    def ok_run(cmd, model_dir, **kw):
         calls.append(list(cmd))
         return 0
 
-    monkeypatch.setattr(qg, "run", ok_run)
+    monkeypatch.setattr(qg, "_run_train_watchdogged", ok_run)
     qg.run_train_resumable(["train"], str(model))
     assert len(calls) == 1
+
+
+def test_fetch_numpy_chunked_equals_whole():
+    """Trainer._fetch_numpy must reproduce np.asarray exactly when slicing
+    (bounded per-transfer fetches exist only to keep axon downloads small)."""
+    import jax.numpy as jnp
+
+    from gs2m_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1000, 7)).astype(np.float32))
+    out = Trainer._fetch_numpy(x, max_bytes=1024)  # forces many slices
+    np.testing.assert_array_equal(out, np.asarray(x))
+    s = jnp.float32(3.5)  # scalar path
+    assert Trainer._fetch_numpy(s) == np.float32(3.5)
