@@ -189,10 +189,10 @@ def bin_gaussians(proj: Projected, height: int, width: int, tile: int,
 
     # Per-Gaussian surviving-instance counts: `keep` is in EXPANSION order,
     # where each Gaussian's slots are contiguous — a cumsum + boundary
-    # differences, no scatter. Only the SINGLE-view blend backward's
-    # fast segment-rank path consumes this (10.9 ms/view measured, r5
-    # microbench_binning `present`); the pair path and the observe pass
-    # count present ids at reduce time instead (with_present=False).
+    # differences, no scatter. Only the blend backward's fast segment-rank
+    # path consumes this (10.9 ms/view measured, r5 microbench_binning
+    # `present`); compacting/term_cut backwards count present ids at reduce
+    # time and the observe pass never reduces (with_present=False).
     if with_present:
         kcs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(keep.astype(jnp.int32))])
