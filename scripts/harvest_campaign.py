@@ -71,6 +71,16 @@ def harvest(cdir: str) -> dict:
         _read_json("/tmp/gs2m_production/quality_gate.json")
         or _last_json_line(os.path.join(cdir, "production_gate.log")))
 
+    # End-window artifacts (round 5+: scripts/run_endwindow_r5.sh).
+    ew = "/tmp/endwindow5"
+    if os.path.isdir(ew):
+        for name in ("bt_opaque_base", "bt_opaque_cut", "bt_steady_cut",
+                     "bt_early_cut", "bwd_kernel"):
+            out[name] = _last_json_line(os.path.join(ew, f"{name}.log"))
+        out["material_gate"] = (out.get("material_gate")
+                                or _last_json_line(
+                                    os.path.join(ew, "material_gate.log")))
+
     # Campaign control state.
     log = os.path.join(cdir, "campaign.log")
     out["tpu_up"] = os.path.exists(os.path.join(cdir, "TPU_UP"))
@@ -100,7 +110,11 @@ def to_markdown(h: dict) -> str:
             row(f"aux: {k}", v, "`bench.py` aux gates (BENCH_AUX.json)")
 
     for name, cfg in (("bench_steady", "steady-state preset"),
-                      ("bench_early", "early-training preset")):
+                      ("bench_early", "early-training preset"),
+                      ("bt_opaque_base", "opaque preset (term_cut OFF)"),
+                      ("bt_opaque_cut", "opaque preset (term_cut ON)"),
+                      ("bt_steady_cut", "steady preset (term_cut ON)"),
+                      ("bt_early_cut", "early preset (term_cut ON)")):
         t = h.get(name)
         if t:
             val = t.get("projected_30k_min") or t.get("value")
@@ -113,7 +127,11 @@ def to_markdown(h: dict) -> str:
         row("Glossy material gate", json.dumps(m)[:160], "`run_material_gate.py`")
     p = h.get("production_gate")
     if p:
-        row("Production 30k gate", json.dumps(p)[:160], "`run_quality_gate.py --production`")
+        row("Production 30k gate", json.dumps(p)[:300], "`run_quality_gate.py --production`")
+    bw = h.get("bwd_kernel")
+    if bw:
+        row("bwd kernel reversed- vs forward-map", json.dumps(bw)[:160],
+            "`microbench_bwd_kernel.py`")
 
     if not rows:
         return "(no campaign artifacts found yet)"
