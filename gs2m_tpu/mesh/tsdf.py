@@ -126,8 +126,12 @@ def fuse_depths(depths, colors, cameras, voxel_size: float, sdf_trunc: float,
     masks_j = (jnp.asarray(np.asarray(alpha_masks).reshape(V, H, W))
                if alpha_masks is not None else jnp.ones((V, H, W)))
 
+    # Big per-view buffers ride as jit ARGUMENTS, never closure constants:
+    # closed-over arrays upload inside the compile request over the axon
+    # HTTP tunnel, which rejects bodies above ~300 MB (hit at 49 views x
+    # 800x600 in the r5 production gate: HTTP 413).
     @jax.jit
-    def integrate():
+    def integrate(centers, world_views, intr, depths_j, colors_j, masks_j):
         def body(carry, v):
             tsdf, wsum, csum = carry
             wv = world_views[v]
@@ -156,7 +160,8 @@ def fuse_depths(depths, colors, cameras, voxel_size: float, sdf_trunc: float,
         w = jnp.maximum(wsum, 1e-12)
         return tsdf / w, wsum, csum / w[:, None]
 
-    tsdf, wsum, cavg = integrate()
+    tsdf, wsum, cavg = integrate(centers, world_views, intr, depths_j,
+                                 colors_j, masks_j)
     E3 = BLOCK_EDGE ** 3
     return TSDFVolume(
         block_coords=block_coords,

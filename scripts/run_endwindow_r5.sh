@@ -38,6 +38,11 @@ run_step() { # name, timeout_s, cmd...
   tail -3 $LOG/$name.log | sed 's/^/    /' >> $LOG/log
 }
 
+# 0. Production-gate eval: training finished (95.8 min, test PSNR 39.20)
+#    but the TSDF fusion crashed on the closure-constant 413 (fixed in
+#    mesh/tsdf.py) — redo render+mesh+metrics+chamfer from the snapshot.
+run_step production_eval 3600 python -u scripts/run_quality_gate.py --production --skip_train
+
 # 1. Material gate: resumes training from its newest checkpoint, then the
 #    decomposition eval (the campaign's attempt was cut by a wedged RPC;
 #    the watchdog now guards it).
