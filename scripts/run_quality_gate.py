@@ -340,6 +340,15 @@ def main(argv=None):
              "--checkpoint_iterations", *[str(v) for v in test_iters]],
             model_dir)
     train_min = (time.time() - t0) / 60.0
+    if args.skip_train:
+        # Eval-only rerun: report the REAL wall-clock from the training
+        # log's device-side elapsed_s (survives resumes), not ~0.
+        log_p = os.path.join(model_dir, "train_log.jsonl")
+        if os.path.exists(log_p):
+            for line in open(log_p):
+                rec = json.loads(line)
+                if "elapsed_s" in rec:
+                    train_min = rec["elapsed_s"] / 60.0
 
     smoke = args.production and args.smoke
     voxel = "0.03" if smoke else ("0.01" if args.production else "0.02")
